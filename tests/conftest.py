@@ -19,5 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Allow float64 in tests (oracle comparisons, finite differences); framework
+# code requests its dtypes explicitly, so this only affects test inputs.
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

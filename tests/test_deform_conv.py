@@ -1,0 +1,112 @@
+"""Deformable conv: XLA formulation vs. naive oracle + gradient checks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realvsr_tpu.ops import deform_conv as dc
+
+
+def make_inputs(b=2, h=8, w=7, cin=4, cout=6, kh=3, kw=3, dg=2, groups=1,
+                stride=1, padding=1, dilation=1, seed=0, mask=True):
+    rng = np.random.default_rng(seed)
+    k = kh * kw
+    ho = dc._out_size(h, kh, stride if isinstance(stride, int) else stride[0],
+                      padding if isinstance(padding, int) else padding[0],
+                      dilation if isinstance(dilation, int) else dilation[0])
+    wo = dc._out_size(w, kw, stride if isinstance(stride, int) else stride[0],
+                      padding if isinstance(padding, int) else padding[0],
+                      dilation if isinstance(dilation, int) else dilation[0])
+    x = rng.normal(size=(b, h, w, cin)).astype(np.float64)
+    offset = (rng.normal(size=(b, ho, wo, dg * k * 2)) * 1.5).astype(np.float64)
+    m = rng.uniform(0.0, 1.0, size=(b, ho, wo, dg * k)).astype(np.float64) if mask else None
+    weight = rng.normal(size=(kh, kw, cin // groups, cout)).astype(np.float64) * 0.3
+    bias = rng.normal(size=(cout,)).astype(np.float64) * 0.1
+    return x, offset, m, weight, bias
+
+
+class TestForward:
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(),
+            dict(dg=1),
+            dict(dg=4, cin=8),
+            dict(stride=2),
+            dict(padding=0),
+            dict(dilation=2, h=12, w=12),
+            dict(groups=2, cin=4, cout=6),
+            dict(mask=False),
+        ],
+    )
+    def test_vs_oracle(self, kwargs):
+        mask = kwargs.pop("mask", True)
+        stride = kwargs.pop("stride", 1)
+        padding = kwargs.pop("padding", 1)
+        dilation = kwargs.pop("dilation", 1)
+        groups = kwargs.pop("groups", 1)
+        dg = kwargs.pop("dg", 2)
+        x, off, m, wgt, b = make_inputs(dg=dg, groups=groups, stride=stride,
+                                        padding=padding, dilation=dilation,
+                                        mask=mask, **kwargs)
+        ref = dc.modulated_deform_conv_np(
+            x, off, m, wgt, b, stride, padding, dilation, groups, dg)
+        ours = dc.modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(off),
+            None if m is None else jnp.asarray(m),
+            jnp.asarray(wgt), jnp.asarray(b), stride, padding, dilation,
+            groups, dg)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-10)
+
+    def test_zero_offset_equals_conv(self):
+        """With zero offsets and unit mask, DCN == plain conv (sanity)."""
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+        wgt = rng.normal(size=(3, 3, 4, 5)).astype(np.float32)
+        off = np.zeros((1, 8, 8, 2 * 9 * 2), dtype=np.float32)
+        m = np.ones((1, 8, 8, 2 * 9), dtype=np.float32)
+        ours = dc.modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(off), jnp.asarray(m), jnp.asarray(wgt),
+            None, 1, 1, 1, 1, 2)
+        ref = jax.lax.conv_general_dilated(
+            x, wgt, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
+
+
+class TestGrad:
+    def test_grads_vs_finite_difference(self):
+        x, off, m, wgt, b = make_inputs(b=1, h=5, w=5, cin=2, cout=2, dg=1, seed=7)
+
+        def f(x_, off_, m_, w_, b_):
+            return jnp.sum(
+                jnp.sin(dc.modulated_deform_conv(x_, off_, m_, w_, b_, 1, 1, 1, 1, 1))
+            )
+
+        args = tuple(map(jnp.asarray, (x, off, m, wgt, b)))
+        grads = jax.grad(f, argnums=(0, 1, 2, 3, 4))(*args)
+        eps = 1e-6
+        rng = np.random.default_rng(11)
+        for ai, a in enumerate(args):
+            g = np.asarray(grads[ai])
+            flat = np.asarray(a).reshape(-1)
+            # probe a few random coordinates
+            for idx in rng.choice(flat.size, size=min(8, flat.size), replace=False):
+                ap = flat.copy(); ap[idx] += eps
+                am = flat.copy(); am[idx] -= eps
+                args_p = list(args); args_p[ai] = jnp.asarray(ap.reshape(a.shape))
+                args_m = list(args); args_m[ai] = jnp.asarray(am.reshape(a.shape))
+                fd = (float(f(*args_p)) - float(f(*args_m))) / (2 * eps)
+                assert abs(fd - g.reshape(-1)[idx]) < 1e-4, (ai, idx, fd, g.reshape(-1)[idx])
+
+    def test_grad_jit_compiles(self):
+        x, off, m, wgt, b = make_inputs(b=2, h=8, w=8, cin=8, cout=8, dg=2, seed=9)
+
+        @jax.jit
+        def g(x_, off_, m_, w_, b_):
+            return jax.grad(
+                lambda *a: jnp.sum(dc.modulated_deform_conv(*a, 1, 1, 1, 1, 2))
+            )(x_, off_, m_, w_, b_)
+
+        out = g(*map(lambda a: jnp.asarray(a, jnp.float32), (x, off, m, wgt, b)))
+        assert out.shape == x.shape
