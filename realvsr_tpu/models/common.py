@@ -1,0 +1,241 @@
+"""Shared architecture blocks (flax.linen, NHWC).
+
+Rebuilds the reference's ``codes/models/archs/arch_util.py`` building blocks
+and the DCN "Pack" module wrappers (``dcn/deform_conv.py:160-292``) as pure
+functional flax modules.  Initializers reproduce torch semantics so that
+training dynamics match:
+
+  * torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))
+    for both kernel and bias,
+  * reference residual blocks: kaiming_normal(fan_in) scaled by 0.1, zero
+    bias (arch_util.py:8-25),
+  * DCN offset/mask convs: zero-init (deform_conv.py:270-272).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from realvsr_tpu.ops.deform_conv import deform_conv, modulated_deform_conv
+
+Dtype = Any
+
+
+def torch_default_init(key, shape, dtype=jnp.float32):
+    """U(±1/sqrt(fan_in)) for HWIO kernels — torch Conv2d default."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def scaled_kaiming_normal(scale: float = 1.0):
+    """kaiming_normal(a=0, fan_in) * scale (arch_util.initialize_weights)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0] * shape[1] * shape[2]
+        std = math.sqrt(2.0 / fan_in)
+        return jax.random.normal(key, shape, dtype) * std * scale
+
+    return init
+
+
+class Conv2d(nn.Module):
+    """Conv with torch-default init and explicit symmetric padding.
+
+    Mirrors nn.Conv2d(cin, cout, k, stride, padding) in NHWC.
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    stride: int = 1
+    padding: int | None = None  # None → same as k//2 when odd
+    use_bias: bool = True
+    kernel_init: Callable = torch_default_init
+    bias_init: Callable | None = None
+    feature_group_count: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = (self.kernel_size, self.kernel_size) if isinstance(
+            self.kernel_size, int) else self.kernel_size
+        pad = self.padding if self.padding is not None else k[0] // 2
+        cin = x.shape[-1]
+        fan_in = k[0] * k[1] * (cin // self.feature_group_count)
+        bias_init = self.bias_init or torch_bias_init(fan_in)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=k,
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=bias_init,
+            feature_group_count=self.feature_group_count,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+def lrelu(x, slope: float = 0.1):
+    """LeakyReLU(0.1) — the activation used across the reference archs."""
+    return nn.leaky_relu(x, negative_slope=slope)
+
+
+class ResidualBlockNoBN(nn.Module):
+    """Conv-ReLU-Conv + identity (arch_util.py:121-139), 0.1-scaled init."""
+
+    nf: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = Conv2d(self.nf, 3, kernel_init=scaled_kaiming_normal(0.1),
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="conv1")(x)
+        out = nn.relu(out)
+        out = Conv2d(self.nf, 3, kernel_init=scaled_kaiming_normal(0.1),
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="conv2")(out)
+        return x + out
+
+
+class ResBlock(nn.Module):
+    """EDSR-style residual block (arch_util.py:97-118), default torch init."""
+
+    n_feats: int
+    kernel_size: int = 3
+    res_scale: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = Conv2d(self.n_feats, self.kernel_size, dtype=self.dtype)(x)
+        out = nn.relu(out)
+        out = Conv2d(self.n_feats, self.kernel_size, dtype=self.dtype)(out)
+        return x + out * self.res_scale
+
+
+def make_layer(block_cls, n: int, **kwargs) -> Sequence[nn.Module]:
+    """Stack n identical blocks (arch_util.py:28-39)."""
+    return [block_cls(**kwargs, name=f"block{i}") for i in range(n)]
+
+
+class Blocks(nn.Module):
+    """Sequential stack of residual blocks."""
+
+    block: Callable[..., nn.Module]
+    num: int
+    block_kwargs: dict
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num):
+            x = self.block(**self.block_kwargs, name=f"block{i}")(x)
+        return x
+
+
+class DCNPack(nn.Module):
+    """ModulatedDeformConvPack (dcn/deform_conv.py:257-292), NHWC.
+
+    ``extra_offset_mask=True`` predicts offsets/masks from a separate
+    feature tensor (call with (x, offset_features)) — the PCD-align mode.
+    The offset/mask conv is zero-initialized; the main kernel uses
+    U(±1/sqrt(cin*kh*kw)) with zero bias, matching reset_parameters.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    groups: int = 1
+    deformable_groups: int = 8
+    extra_offset_mask: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, offset_feat=None):
+        if self.extra_offset_mask:
+            assert offset_feat is not None
+            src = offset_feat
+        else:
+            src = x
+        k2 = self.kernel_size * self.kernel_size
+        out = Conv2d(
+            self.deformable_groups * 3 * k2, self.kernel_size, self.stride,
+            self.padding, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            name="conv_offset_mask")(src)
+        o1, o2, mask = jnp.split(out, 3, axis=-1)
+        offset = jnp.concatenate([o1, o2], axis=-1)
+        mask = jax.nn.sigmoid(mask)
+
+        cin = x.shape[-1]
+        weight = self.param(
+            "weight",
+            lambda key, shape: torch_default_init(key, shape),
+            (self.kernel_size, self.kernel_size, cin // self.groups, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return modulated_deform_conv(
+            x, offset, mask, weight, bias, self.stride, self.padding,
+            self.dilation, self.groups, self.deformable_groups,
+            compute_dtype=self.dtype,
+        )
+
+
+class DeformConvModule(nn.Module):
+    """Unmodulated DeformConv (dcn/deform_conv.py:160-196): external offsets."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    deformable_groups: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, offset):
+        cin = x.shape[-1]
+        weight = self.param(
+            "weight",
+            lambda key, shape: torch_default_init(key, shape),
+            (self.kernel_size, self.kernel_size, cin // self.groups, self.features),
+        )
+        return deform_conv(
+            x, offset, weight, self.stride, self.padding, self.dilation,
+            self.groups, self.deformable_groups,
+        )
+
+
+def max_pool_3x3_s2(x):
+    """torch MaxPool2d(3, stride=2, padding=1): -inf padding."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
+def avg_pool_3x3_s2(x):
+    """torch AvgPool2d(3, stride=2, padding=1), count_include_pad=True."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    return s / 9.0

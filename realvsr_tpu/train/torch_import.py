@@ -1,0 +1,106 @@
+"""Import reference PyTorch checkpoints (.pth state_dicts) into flax params.
+
+Enables parity validation against reference-trained weights and lets users
+of the reference framework migrate: ``load_network`` in the reference
+(``codes/models/base_model.py:86-97``) loads an OrderedDict of
+``module.``-prefixed tensors; this maps those names onto our flax tree.
+
+Mapping rules (flax path → torch key):
+  * drop ``Conv_N`` wrapper segments introduced by our Conv2d module,
+  * ``blockN`` (Blocks container) → ``N`` (torch nn.Sequential index),
+  * leaf ``kernel`` → ``weight`` with OIHW→HWIO transpose,
+  * 4-D ``weight`` leaves (DCN main kernels) transposed the same way,
+  * everything else keeps its name.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def flax_path_to_torch_key(path: tuple[str, ...]) -> str:
+    parts = []
+    for p in path[:-1]:
+        if re.fullmatch(r"Conv_\d+", p):
+            continue
+        m = re.fullmatch(r"block(\d+)", p)
+        parts.append(m.group(1) if m else p)
+    leaf = path[-1]
+    if leaf == "kernel":
+        leaf = "weight"
+    parts.append(leaf)
+    return ".".join(parts)
+
+
+def _to_numpy(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def import_torch_state_dict(params: Mapping[str, Any],
+                            state_dict: Mapping[str, Any],
+                            strict: bool = True):
+    """Fill a flax param tree with tensors from a torch state_dict.
+
+    Args:
+      params: flax params pytree (the template, e.g. from model.init).
+      state_dict: torch name → tensor mapping; ``module.`` prefixes from
+        DataParallel wrapping are stripped (base_model.py:90-95).
+      strict: raise if any template leaf has no matching torch tensor.
+    Returns:
+      A new params pytree with imported values (float32).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        sd[k] = v
+
+    used = set()
+
+    def fill(path, leaf):
+        names = tuple(p.key for p in path)
+        tk = flax_path_to_torch_key(names)
+        if tk not in sd:
+            if strict:
+                raise KeyError(
+                    f"flax param {'/'.join(names)} → torch key '{tk}' not in "
+                    f"state_dict")
+            return leaf
+        used.add(tk)
+        t = _to_numpy(sd[tk]).astype(np.float32)
+        if t.ndim == 4 and leaf.ndim == 4:
+            t = t.transpose(2, 3, 1, 0)  # OIHW → HWIO
+        if t.shape != leaf.shape:
+            raise ValueError(
+                f"shape mismatch for {tk}: torch {t.shape} vs flax {leaf.shape}")
+        return jnp.asarray(t)
+
+    new_params = jax.tree_util.tree_map_with_path(fill, params)
+    if strict:
+        unused = set(sd) - used
+        if unused:
+            raise KeyError(f"unused torch tensors: {sorted(unused)[:8]}...")
+    return new_params
+
+
+def export_to_torch_state_dict(params: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Inverse mapping: flax params → torch-style state_dict (numpy)."""
+    out = {}
+
+    def dump(path, leaf):
+        names = tuple(p.key for p in path)
+        tk = flax_path_to_torch_key(names)
+        t = np.asarray(leaf)
+        if t.ndim == 4:
+            t = t.transpose(3, 2, 0, 1)  # HWIO → OIHW
+        out[tk] = t
+        return leaf
+
+    jax.tree_util.tree_map_with_path(dump, params)
+    return out

@@ -39,6 +39,18 @@ def _ensure_stubs():
     sys.modules.setdefault("IQA_pytorch", iqa)
 
 
+def import_ref_package(modname: str):
+    """Import a reference module by package path, e.g.
+    'models.archs.EDVR_arch' (relative imports inside it then resolve)."""
+    import importlib
+
+    _ensure_stubs()
+    _stub("models.archs.dcn.deform_conv_cuda")
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    return importlib.import_module(modname)
+
+
 def load_ref_module(relpath: str, name: str):
     """Load e.g. load_ref_module('data/util.py', 'ref_data_util')."""
     _ensure_stubs()

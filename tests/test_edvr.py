@@ -1,0 +1,108 @@
+"""EDVR parity: our flax model vs. the reference torch model (CPU oracle).
+
+Reference torch modules run with a grid_sample-based DCN substitute
+(torch_dcn_oracle); weights transfer through the production .pth importer.
+"""
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from reference_loader import load_ref_module, _ensure_stubs
+
+from realvsr_tpu.models.edvr import EDVR, EDVRNoUp
+from realvsr_tpu.train.torch_import import import_torch_state_dict
+import torch_dcn_oracle
+
+
+def _load_ref_edvr():
+    from reference_loader import import_ref_package
+
+    ref_dcn = import_ref_package("models.archs.dcn.deform_conv")
+    torch_dcn_oracle.install(ref_dcn)
+    return import_ref_package("models.archs.EDVR_arch")
+
+
+@pytest.fixture(scope="module")
+def ref_edvr():
+    return _load_ref_edvr()
+
+
+def test_torch_dcn_oracle_vs_our_oracle():
+    """The torch grid_sample DCN must agree with our numpy loop oracle."""
+    from realvsr_tpu.ops.deform_conv import modulated_deform_conv_np
+
+    rng = np.random.default_rng(0)
+    b, h, w, cin, cout, dg = 1, 6, 5, 4, 4, 2
+    x = rng.normal(size=(b, h, w, cin))
+    off = rng.normal(size=(b, h, w, dg * 9 * 2)) * 1.3
+    m = rng.uniform(size=(b, h, w, dg * 9))
+    wgt = rng.normal(size=(3, 3, cin, cout)) * 0.2
+    ours = modulated_deform_conv_np(x, off, m, wgt, None, 1, 1, 1, 1, dg)
+    ref = torch_dcn_oracle.torch_modulated_deform_conv(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(off.transpose(0, 3, 1, 2)),
+        torch.from_numpy(m.transpose(0, 3, 1, 2)),
+        torch.from_numpy(wgt.transpose(3, 2, 0, 1)), None, 1, 1, 1, 1, dg,
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+
+# nf must be 64: the reference hardcodes HRconv/conv_last at 64 channels
+CFG = dict(nf=64, nc=3, nframes=3, groups=8, front_RBs=2, back_RBs=2,
+           center=None, predeblur=False, HR_in=False)
+
+
+@pytest.mark.parametrize("w_tsa", [False, True])
+def test_edvr_noup_forward_parity(ref_edvr, w_tsa):
+    torch.manual_seed(0)
+    tmodel = ref_edvr.EDVR_NoUp(w_TSA=w_tsa, **CFG).eval()
+    model = EDVRNoUp(w_TSA=w_tsa, **CFG)
+
+    rng = np.random.default_rng(1)
+    x = rng.random((2, 3, 16, 16, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = import_torch_state_dict(params, tmodel.state_dict(), strict=True)
+
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 1, 4, 2, 3)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_edvr_x4_forward_parity(ref_edvr):
+    torch.manual_seed(1)
+    tmodel = ref_edvr.EDVR(w_TSA=True, **CFG).eval()
+    model = EDVR(w_TSA=True, **CFG)
+
+    rng = np.random.default_rng(2)
+    x = rng.random((1, 3, 12, 12, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = import_torch_state_dict(params, tmodel.state_dict(), strict=True)
+
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 1, 4, 2, 3)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    assert ours.shape == ref.shape == (1, 48, 48, 3)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_edvr_param_count_matches_reference(ref_edvr):
+    """EDVR-M config of the reference smoke block (EDVR_arch.py:407-411)."""
+    tmodel = ref_edvr.EDVR(nf=64, nc=1, nframes=7, groups=8, front_RBs=5,
+                           back_RBs=10, center=None, predeblur=False,
+                           HR_in=False, w_TSA=False)
+    ref_count = sum(p.numel() for p in tmodel.parameters() if p.requires_grad)
+
+    model = EDVR(nf=64, nc=1, nframes=7, groups=8, front_RBs=5, back_RBs=10,
+                 center=None, predeblur=False, HR_in=False, w_TSA=False)
+    x = jnp.zeros((1, 7, 8, 8, 1))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ours_count = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    assert ours_count == ref_count
