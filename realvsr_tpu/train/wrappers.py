@@ -1,0 +1,147 @@
+"""Loss-assembly train steps for the three model wrappers.
+
+Functional rebuilds of the reference training logic:
+  * Combine — single criterion on all channels + optional edge / VGG
+    feature losses (``VideoSR_AllPair_model_YCbCr_Combine.py:190-215``),
+  * Split — separate Y / CbCr criteria, the decomposition core
+    (``VideoSR_AllPair_model_YCbCr_Split.py:163-191``),
+  * GAN-Split — pyramid structure/detail/color + adversarial
+    (``VideoSRGAN_AllPair_model_YCbCr_Split.py:193-313``), built in
+    train/gan.py.
+
+Each builder returns a pure ``train_step(state, batch, rng) -> (state,
+metrics)`` suitable for jit over a data-sharded mesh.  Batches are
+``{'LQs': (B, T, H, W, C), 'GT': (B, T, H, W, C)}`` (AllPair layout; the
+loss indexes the center frame).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from realvsr_tpu.data.augments import apply_augment
+from realvsr_tpu.losses import get_pixel_criterion
+from realvsr_tpu.train.state import TrainState
+
+
+def _maybe_augment(opt: dict, rng, gt, lq):
+    aug = opt.get("augment") if opt else None
+    if not aug:
+        return gt, lq
+    return apply_augment(rng, gt, lq, aug["augs"], aug["probs"],
+                         aug["alphas"], aug["mix_p"])
+
+
+def make_split_train_step(model, opt: dict) -> Callable:
+    """YCbCr Split: w_y * cri_y(pred_Y, gt_Y) + w_c * cri_c(pred_C, gt_C)."""
+    train_opt = opt["train"]
+    cri_y = get_pixel_criterion(train_opt["pixel_criterion_y"])
+    cri_c = get_pixel_criterion(train_opt["pixel_criterion_c"])
+    w_y = float(train_opt["pixel_weight_y"])
+    w_c = float(train_opt["pixel_weight_c"])
+
+    def train_step(state: TrainState, batch, rng):
+        gt, lq = _maybe_augment(opt, rng, batch["GT"], batch["LQs"])
+        ctr = lq.shape[1] // 2
+        gt_c = gt[:, ctr]
+
+        def loss_fn(params):
+            pred = state.apply_fn({"params": params}, lq)
+            l_y = w_y * cri_y(pred[..., 0:1], gt_c[..., 0:1])
+            l_c = w_c * cri_c(pred[..., 1:3], gt_c[..., 1:3])
+            return l_y + l_c, {"l_pix_y": l_y, "l_pix_c": l_c}
+
+        (l_pix, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads=grads)
+        logs["l_pix"] = l_pix
+        return state, logs
+
+    return train_step
+
+
+def make_combine_train_step(model, opt: dict,
+                            feature_apply: Callable | None = None) -> Callable:
+    """YCbCr Combine: one criterion on all channels (+ edge, + VGG feature).
+
+    ``feature_apply(x) -> features`` is the frozen VGG extractor when
+    feature_criterion is configured.
+    """
+    train_opt = opt["train"]
+    cri_pix = get_pixel_criterion(train_opt["pixel_criterion"])
+    w_pix = float(train_opt["pixel_weight"])
+    cri_edg = None
+    if train_opt.get("edge_criterion") and train_opt.get("edge_weight"):
+        name = train_opt["edge_criterion"]
+        if name == "pyr":
+            # Combine wrapper's 'pyr' edge loss uses the *laplacian* pyramid
+            # (VideoSR_..._Combine.py:75-76)
+            from functools import partial
+
+            from realvsr_tpu.losses import pyramid_loss
+
+            cri_edg = partial(pyramid_loss, num_levels=3, pyr_mode="lap",
+                              loss_mode="cb")
+        else:
+            cri_edg = get_pixel_criterion(name)
+        w_edg = float(train_opt["edge_weight"])
+    cri_fea = None
+    if train_opt.get("feature_criterion") and train_opt.get("feature_weight"):
+        cri_fea = get_pixel_criterion(train_opt["feature_criterion"])
+        w_fea = float(train_opt["feature_weight"])
+        assert feature_apply is not None, "feature loss requires a VGG extractor"
+
+    def train_step(state: TrainState, batch, rng):
+        gt, lq = _maybe_augment(opt, rng, batch["GT"], batch["LQs"])
+        ctr = lq.shape[1] // 2
+        gt_c = gt[:, ctr]
+
+        def loss_fn(params):
+            pred = state.apply_fn({"params": params}, lq)
+            l_pix = w_pix * cri_pix(pred, gt_c)
+            logs = {"l_pix": l_pix}
+            l_tot = l_pix
+            if cri_edg is not None:
+                l_edg = w_edg * cri_edg(pred, gt_c)
+                logs["l_edg"] = l_edg
+                l_tot = l_tot + l_edg
+            if cri_fea is not None:
+                real_fea = jax.lax.stop_gradient(feature_apply(gt_c))
+                fake_fea = feature_apply(pred)
+                l_fea = w_fea * cri_fea(fake_fea, real_fea)
+                logs["l_fea"] = l_fea
+                l_tot = l_tot + l_fea
+            logs["l_tot"] = l_tot
+            return l_tot, logs
+
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, logs
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    """Jittable forward for validation (wrapper .test())."""
+
+    def eval_step(params, lq):
+        return model.apply({"params": params}, lq)
+
+    return eval_step
+
+
+def make_train_step(model, opt: dict, **kwargs) -> Callable:
+    """Dispatch on opt['model'] like the reference create_model
+    (models/__init__.py:5-17)."""
+    name = opt["model"]
+    if "Split" in name and "GAN" not in name:
+        return make_split_train_step(model, opt)
+    if "Combine" in name:
+        return make_combine_train_step(model, opt, **kwargs)
+    if "GAN" in name:
+        from realvsr_tpu.train.gan import make_gan_split_train_step
+
+        return make_gan_split_train_step(model, opt, **kwargs)
+    raise NotImplementedError(f"Model [{name}] not recognized.")
