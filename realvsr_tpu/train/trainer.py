@@ -1,0 +1,228 @@
+"""Training orchestration (rebuild of ``codes/train.py``).
+
+Same lifecycle as the reference main(): config → (multi-process init) →
+experiment dirs/loggers → datasets → model/state → resume → hot loop
+(update lr [inside optax] → feed → jitted train step → periodic log / val /
+checkpoint).  The jitted step runs over a data-sharded mesh; validation
+PSNR aggregation is a host mean over per-process results (the reference
+used dist.reduce, train.py:253-255).
+"""
+from __future__ import annotations
+
+import logging
+import math
+import os
+import os.path as osp
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realvsr_tpu.core.config import check_resume, dict2str
+from realvsr_tpu.data import create_dataloader, create_dataset
+from realvsr_tpu.models import define_g
+from realvsr_tpu.ops import metrics as metric_ops
+from realvsr_tpu.parallel.mesh import (batch_sharding, create_mesh,
+                                       is_main_process,
+                                       maybe_initialize_distributed,
+                                       shard_batch)
+from realvsr_tpu.train import checkpoint as ckpt
+from realvsr_tpu.train.state import create_train_state
+from realvsr_tpu.train.wrappers import make_eval_step, make_train_step
+
+logger = logging.getLogger("base")
+
+
+def setup_logger(log_dir: str | None, name: str = "base",
+                 level=logging.INFO) -> logging.Logger:
+    lg = logging.getLogger(name)
+    lg.setLevel(level)
+    lg.propagate = False
+    if not lg.handlers:
+        fmt = logging.Formatter(
+            "%(asctime)s.%(msecs)03d - %(levelname)s: %(message)s",
+            datefmt="%y-%m-%d %H:%M:%S")
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        lg.addHandler(sh)
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            fh = logging.FileHandler(osp.join(log_dir, "train.log"))
+            fh.setFormatter(fmt)
+            lg.addHandler(fh)
+    return lg
+
+
+class Trainer:
+    def __init__(self, opt: dict):
+        self.opt = opt
+        maybe_initialize_distributed()
+        self.mesh = create_mesh()
+
+        if is_main_process():
+            for key in ("experiments_root", "models", "training_state",
+                        "val_images"):
+                if opt["path"].get(key):
+                    os.makedirs(opt["path"][key], exist_ok=True)
+        setup_logger(opt["path"].get("log") if is_main_process() else None)
+        logger.info(dict2str(opt))
+
+        self.tb = None
+        if opt.get("use_tb_logger") and "debug" not in opt["name"] and \
+                is_main_process():
+            try:
+                from tensorboardX import SummaryWriter
+
+                tb_dir = osp.join(opt["path"]["root"], "tb_logger", opt["name"])
+                self.tb = SummaryWriter(log_dir=tb_dir)
+            except Exception:  # pragma: no cover - tb optional
+                logger.warning("tensorboardX unavailable; TB logging disabled")
+
+        # datasets
+        self.train_loader = None
+        self.val_loader = None
+        self.total_iters = int(opt["train"]["niter"])
+        for phase, dataset_opt in opt["datasets"].items():
+            if phase == "train":
+                train_set = create_dataset(dataset_opt)
+                self.train_loader = create_dataloader(train_set, dataset_opt, opt)
+                batches_per_epoch = len(self.train_loader)
+                self.total_epochs = int(
+                    math.ceil(self.total_iters / max(1, batches_per_epoch)))
+                logger.info(
+                    f"Number of train images: {len(train_set)}, iters per "
+                    f"epoch: {batches_per_epoch}; total epochs "
+                    f"{self.total_epochs}, iters {self.total_iters}")
+            elif phase == "val":
+                val_set = create_dataset(dataset_opt)
+                self.val_loader = create_dataloader(val_set, dataset_opt, opt)
+                logger.info(f"Number of val images: {len(val_set)}")
+        assert self.train_loader is not None
+
+        # model + state
+        self.model = define_g(opt)
+        ds_train = opt["datasets"]["train"]
+        nf = ds_train["N_frames"]
+        size = ds_train.get("GT_size") or 64
+        nc = (opt["network_G"].get("nc") or 3)
+        sample = jnp.zeros((1, nf, size // (opt.get("scale") or 1),
+                            size // (opt.get("scale") or 1), nc), jnp.float32)
+        seed = int(opt["train"].get("manual_seed") or 0)
+        self.state = create_train_state(self.model, opt, sample,
+                                        jax.random.PRNGKey(seed))
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(self.state.params))
+        logger.info(f"Network G: {type(self.model).__name__}, "
+                    f"with parameters: {n_params:,d}")
+
+        self.start_epoch, self.current_step = 0, 0
+        self._load_or_resume()
+
+        self.train_step = jax.jit(make_train_step(self.model, opt),
+                                  donate_argnums=0)
+        self.eval_step = jax.jit(make_eval_step(self.model))
+        self.rng = jax.random.PRNGKey(seed + 7)
+
+    # ------------------------------------------------------------------
+    def _load_or_resume(self):
+        opt = self.opt
+        resume_path = opt["path"].get("resume_state")
+        if resume_path:
+            step_str = osp.basename(resume_path).split(".")[0]
+            check_resume(opt, step_str)
+            step, epoch, opt_state = ckpt.load_training_state(
+                resume_path, self.state.opt_state)
+            params = ckpt.load_network(opt["path"]["pretrain_model_G"],
+                                       self.state.params)
+            self.state = self.state.replace(params=params, opt_state=opt_state,
+                                            step=step)
+            self.start_epoch, self.current_step = epoch, step
+            logger.info(f"Resuming training from epoch {epoch}, iter {step}.")
+        elif opt["path"].get("pretrain_model_G"):
+            params = ckpt.load_network(opt["path"]["pretrain_model_G"],
+                                       self.state.params)
+            self.state = self.state.replace(params=params)
+            logger.info(
+                f"Loaded pretrained G from {opt['path']['pretrain_model_G']}")
+
+    # ------------------------------------------------------------------
+    def validate(self, step: int) -> float:
+        if self.val_loader is None:
+            return float("nan")
+        psnr_by_folder = defaultdict(list)
+        for batch in self.val_loader:
+            lqs = jnp.asarray(batch["LQs"], jnp.float32)
+            out = self.eval_step(self.state.params, lqs)
+            out_np = np.asarray(out[0], np.float32)
+            gt = np.asarray(batch["GT"][0], np.float32)
+            psnr = metric_ops.calculate_psnr_np(
+                np.clip(out_np, 0, 1) * 255.0, gt * 255.0)
+            psnr_by_folder[batch["folder"][0]].append(psnr)
+        folder_means = {k: float(np.mean(v)) for k, v in psnr_by_folder.items()}
+        psnr_avg = float(np.mean(list(folder_means.values())))
+        for k, v in folder_means.items():
+            logger.info(f"Folder {k} psnr: {v:.6f}.")
+        logger.info(f"# Validation # PSNR: {psnr_avg:.6f}.")
+        if self.tb:
+            self.tb.add_scalar("psnr_avg", psnr_avg, step)
+        return psnr_avg
+
+    def save_checkpoint(self, epoch: int, step: int | str):
+        if not is_main_process():
+            return
+        ckpt.save_network(self.opt["path"]["models"], "G", step,
+                          jax.device_get(self.state.params))
+        if isinstance(step, int):
+            ckpt.save_training_state(self.opt["path"]["training_state"], step,
+                                     epoch, self.state.opt_state)
+        logger.info("Saved models and training states.")
+
+    # ------------------------------------------------------------------
+    def train(self):
+        opt = self.opt
+        print_freq = int(opt["logger"]["print_freq"])
+        save_freq = int(opt["logger"]["save_checkpoint_freq"])
+        val_freq = int(opt["train"]["val_freq"]) if opt["train"].get(
+            "val_freq") else None
+        sharding = batch_sharding(self.mesh)
+        logger.info(f"Start training from epoch: {self.start_epoch:d}, "
+                    f"iter: {self.current_step:d}")
+        t_last = time.time()
+        epoch = self.start_epoch
+        while self.current_step <= self.total_iters:
+            for batch in self.train_loader.epoch_iter(epoch):
+                self.current_step += 1
+                if self.current_step > self.total_iters:
+                    break
+                device_batch = {
+                    "LQs": jax.device_put(batch["LQs"], sharding),
+                    "GT": jax.device_put(batch["GT"], sharding),
+                }
+                self.rng, sub = jax.random.split(self.rng)
+                self.state, logs = self.train_step(self.state, device_batch, sub)
+
+                if self.current_step % print_freq == 0:
+                    logs = {k: float(v) for k, v in logs.items()}
+                    elapsed = time.time() - t_last
+                    ips = print_freq / max(elapsed, 1e-9)
+                    t_last = time.time()
+                    msg = (f"[epoch:{epoch:3d}, iter:{self.current_step:8,d}, "
+                           f"{ips:.2f} it/s] ")
+                    msg += " ".join(f"{k}: {v:.4e}" for k, v in logs.items())
+                    logger.info(msg)
+                    if self.tb:
+                        for k, v in logs.items():
+                            self.tb.add_scalar(k, v, self.current_step)
+
+                if val_freq and self.current_step % val_freq == 0:
+                    self.validate(self.current_step)
+
+                if self.current_step % save_freq == 0:
+                    self.save_checkpoint(epoch, self.current_step)
+            epoch += 1
+
+        self.save_checkpoint(epoch, "latest")
+        logger.info("End of training.")
+        return self.state

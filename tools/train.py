@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""Training CLI — same interface as the reference ``codes/train.py``:
+
+    python tools/train.py -opt configs/train/<experiment>.yml
+
+Multi-process launch is JAX-native (set JAX_COORDINATOR_ADDRESS etc. or use
+a TPU pod runtime); no --launcher flag is needed.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, required=True,
+                        help="Path to option YAML file.")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force a JAX platform (e.g. cpu for smoke runs).")
+    args = parser.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from realvsr_tpu.core.config import parse
+    from realvsr_tpu.train.trainer import Trainer
+
+    opt = parse(args.opt, is_train=True)
+    trainer = Trainer(opt)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
