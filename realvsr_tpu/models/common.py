@@ -224,6 +224,73 @@ class DeformConvModule(nn.Module):
         )
 
 
+def orthogonal_hwio(key, shape, dtype=jnp.float32):
+    """torch init.orthogonal_ on an OIHW view, returned as HWIO
+    (discriminator SimpleBlock init, discriminator_arch.py:33-37)."""
+    kh, kw, cin, cout = shape
+    flat = jax.nn.initializers.orthogonal()(key, (cout, cin * kh * kw), dtype)
+    return flat.reshape(cout, cin, kh, kw).transpose(2, 3, 1, 0)
+
+
+class BatchNorm2d(nn.Module):
+    """Batch normalization with learned affine, normalizing with *batch*
+    statistics (torch train-mode behavior).
+
+    Parity note: the reference uses torch BatchNorm2d whose eval mode uses
+    running averages; this implementation always uses the current batch's
+    statistics (well-behaved at eval over full frames).  Running-stat
+    collection can be added via flax mutable collections if bit-parity with
+    torch eval mode is needed.
+    """
+
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class PReLU(nn.Module):
+    """torch nn.PReLU() — single learned negative slope, init 0.25."""
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("alpha", nn.initializers.constant(0.25), (1,))
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+
+
+class Upsampler(nn.Module):
+    """Pixel-shuffle upsampler (arch_util.py:142-165); scale 2^n or 3."""
+
+    scale: int
+    n_feat: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from realvsr_tpu.ops.resize import pixel_shuffle
+
+        s = self.scale
+        if (s & (s - 1)) == 0:
+            for i in range(int(math.log2(s))):
+                x = Conv2d(4 * self.n_feat, 3, dtype=self.dtype,
+                           name=f"conv{i}")(x)
+                x = pixel_shuffle(x, 2)
+        elif s == 3:
+            x = Conv2d(9 * self.n_feat, 3, dtype=self.dtype, name="conv0")(x)
+            x = pixel_shuffle(x, 3)
+        else:
+            raise NotImplementedError(f"scale {s}")
+        return x
+
+
 def max_pool_3x3_s2(x):
     """torch MaxPool2d(3, stride=2, padding=1): -inf padding."""
     return jax.lax.reduce_window(

@@ -228,7 +228,7 @@ class EDVR(_EDVRBase):
     """EDVR with x4 pixel-shuffle upsampling (EDVR_arch.py:211-320)."""
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         dt = self.dtype
         x_center = x[:, self.center_idx]
         fea = self.extract_and_align(x)
@@ -256,7 +256,7 @@ class EDVRNoUp(_EDVRBase):
     """
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         dt = self.dtype
         x_center = x[:, self.center_idx]
         fea = self.extract_and_align(x)

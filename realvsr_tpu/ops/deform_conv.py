@@ -70,11 +70,15 @@ def _bilinear_gather(x_flat: jax.Array, h: jax.Array, w: jax.Array,
         return jnp.take(xb, idxb.reshape(-1), axis=0).reshape(idxb.shape + (c,))
 
     vg = jax.vmap(gather)
+    # weights are computed in >=f32 but applied in the feature dtype so the
+    # big (.., K, C) intermediates stay bf16 on the bf16 inference path
+    wt_t = x_flat.dtype if x_flat.dtype in (jnp.bfloat16, jnp.float16,
+                                            jnp.float32) else w00.dtype
     return (
-        vg(x_flat, i00) * w00[..., None]
-        + vg(x_flat, i01) * w01[..., None]
-        + vg(x_flat, i10) * w10[..., None]
-        + vg(x_flat, i11) * w11[..., None]
+        vg(x_flat, i00) * w00[..., None].astype(wt_t)
+        + vg(x_flat, i01) * w01[..., None].astype(wt_t)
+        + vg(x_flat, i10) * w10[..., None].astype(wt_t)
+        + vg(x_flat, i11) * w11[..., None].astype(wt_t)
     )
 
 

@@ -44,7 +44,8 @@ def _to_numpy(t) -> np.ndarray:
 
 def import_torch_state_dict(params: Mapping[str, Any],
                             state_dict: Mapping[str, Any],
-                            strict: bool = True):
+                            strict: bool = True,
+                            key_map: list[tuple[str, str]] | None = None):
     """Fill a flax param tree with tensors from a torch state_dict.
 
     Args:
@@ -66,6 +67,8 @@ def import_torch_state_dict(params: Mapping[str, Any],
     def fill(path, leaf):
         names = tuple(p.key for p in path)
         tk = flax_path_to_torch_key(names)
+        for pat, repl in (key_map or []):
+            tk = re.sub(pat, repl, tk)
         if tk not in sd:
             if strict:
                 raise KeyError(
