@@ -144,11 +144,117 @@ def deform_conv_columns(x: jax.Array, offset: jax.Array,
     return cols.reshape(b, ho, wo, cin * k)
 
 
+# Above this many output positions (B*Ho*Wo) the one-shot im2col columns
+# would blow past HBM (TPU lane-padding inflates the (..., K, cpg)-minor
+# intermediates ~16-28x); switch to the tap-loop formulation instead.
+_TAP_LOOP_THRESHOLD = 96 * 96 * 16
+
+# Global implementation override (see set_default_impl): None → size-based
+# choice between 'columns' and 'tap_loop'.  'block' selects the clamped
+# shift-window MXU formulation (ops/deform_conv_block.py) — much faster on
+# TPU for large inputs, with offsets clamped to ±_BLOCK_MAX_OFFSET.
+_DEFAULT_IMPL: str | None = None
+_BLOCK_MAX_OFFSET: int = 8
+
+
+def set_default_impl(impl: str | None, block_max_offset: int | None = None):
+    """Select the DCN implementation globally.
+
+    impl: None (auto exact), 'columns', 'tap_loop', or 'block' (fast,
+    clamped offsets).  Returns the previous setting.
+    """
+    global _DEFAULT_IMPL, _BLOCK_MAX_OFFSET
+    prev = (_DEFAULT_IMPL, _BLOCK_MAX_OFFSET)
+    _DEFAULT_IMPL = impl
+    if block_max_offset is not None:
+        _BLOCK_MAX_OFFSET = int(block_max_offset)
+    return prev
+
+
+def _modulated_deform_conv_tap_loop(x, offset, mask, weight, bias, stride,
+                                    padding, dilation, groups,
+                                    deformable_groups, compute_dtype=None):
+    """Memory-bounded DCNv2: lax.fori over the K taps, per-tap row gathers
+    and a per-tap GEMM accumulation.  Peak memory is one tap's working set
+    instead of the full im2col columns (needed for full-frame inference and
+    large training batches on TPU)."""
+    b, h, w, cin = x.shape
+    kh, kw, cin_g, cout = weight.shape
+    assert groups == 1, "tap-loop path currently supports groups=1"
+    k = kh * kw
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    dg = deformable_groups
+    cpg = cin // dg
+    ho = _out_size(h, kh, sh, ph, dh)
+    wo = _out_size(w, kw, sw, pw, dw)
+    dt = compute_dtype or x.dtype
+
+    pos_t = jnp.promote_types(offset.dtype, jnp.float32)
+    # (k, dg, B, Ho*Wo, [2]) layouts so tap slices are contiguous
+    off = offset.reshape(b, ho, wo, dg, k, 2).astype(pos_t)
+    off = off.transpose(4, 3, 0, 1, 2, 5).reshape(k, dg, b, ho * wo, 2)
+    msk = None
+    if mask is not None:
+        msk = mask.reshape(b, ho, wo, dg, k).transpose(4, 3, 0, 1, 2)
+        msk = msk.reshape(k, dg, b, ho * wo)
+    oy = (jnp.arange(ho, dtype=pos_t) * sh - ph)
+    ox = (jnp.arange(wo, dtype=pos_t) * sw - pw)
+    base = (oy[:, None] * 0 + ox[None, :] * 0)  # (Ho, Wo) zeros for broadcast
+    base_y = (oy[:, None] + base).reshape(ho * wo)
+    base_x = (ox[None, :] + base).reshape(ho * wo)
+    xg = x.reshape(b, h * w, dg, cpg).transpose(2, 0, 1, 3)  # (dg,B,HW,cpg)
+    wt = weight.astype(dt).reshape(k, dg, cpg, cout)
+
+    def gather_rows(xb, idxb):
+        return jnp.take(xb, idxb, axis=0)
+
+    vg = jax.vmap(jax.vmap(gather_rows))  # over (dg, B)
+
+    def tap(ki, out):
+        i = (ki // kw).astype(pos_t)
+        j = (ki % kw).astype(pos_t)
+        py = base_y[None, None] + i * dh + off[ki, ..., 0]  # (dg,B,P)
+        px = base_x[None, None] + j * dw + off[ki, ..., 1]
+        y0 = jnp.floor(py)
+        x0 = jnp.floor(px)
+        ty = py - y0
+        tx = px - x0
+
+        def corner(yi, xi, wgt):
+            valid = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
+            wgt = jnp.where(valid, wgt, 0.0).astype(dt)
+            yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            return yi * w + xi, wgt
+
+        acc = None
+        for idx, wgt in (corner(y0, x0, (1 - ty) * (1 - tx)),
+                         corner(y0, x0 + 1, (1 - ty) * tx),
+                         corner(y0 + 1, x0, ty * (1 - tx)),
+                         corner(y0 + 1, x0 + 1, ty * tx)):
+            term = vg(xg, idx) * wgt[..., None]
+            acc = term if acc is None else acc + term
+        if msk is not None:
+            acc = acc * msk[ki][..., None].astype(dt)
+        return out + jnp.einsum("gbpc,gco->bpo", acc.astype(dt), wt[ki],
+                                preferred_element_type=acc_t)
+
+    acc_t = jnp.float32 if dt in (jnp.bfloat16, jnp.float16, jnp.float32) else dt
+    out = jax.lax.fori_loop(0, k, tap,
+                            jnp.zeros((b, ho * wo, cout), acc_t))
+    out = out.reshape(b, ho, wo, cout).astype(dt)
+    if bias is not None:
+        out = out + bias.astype(dt)
+    return out
+
+
 def modulated_deform_conv(x: jax.Array, offset: jax.Array, mask: jax.Array,
                           weight: jax.Array, bias: jax.Array | None = None,
                           stride=1, padding=0, dilation=1, groups: int = 1,
                           deformable_groups: int = 1,
-                          compute_dtype=None) -> jax.Array:
+                          compute_dtype=None, impl: str | None = None) -> jax.Array:
     """DCNv2 forward (reference deform_conv.py:97-119 semantics, NHWC).
 
     Args:
@@ -156,10 +262,34 @@ def modulated_deform_conv(x: jax.Array, offset: jax.Array, mask: jax.Array,
       offset / mask: see :func:`deform_conv_columns`.
       weight: (kh, kw, Cin // groups, Cout) — HWIO, flax convention.
       bias: (Cout,) or None.
+      impl: 'columns' (one-shot im2col GEMM, fastest for small inputs),
+        'tap_loop' (memory-bounded), or None to pick by size.
     Returns:
       (B, Ho, Wo, Cout).
     """
     kh, kw, cin_g, cout = weight.shape
+    if impl is None:
+        impl = _DEFAULT_IMPL
+    if impl == "block" and not (
+            (kh, kw) == (3, 3) and _pair(stride) == (1, 1)
+            and _pair(padding) == (1, 1) and _pair(dilation) == (1, 1)
+            and groups == 1):
+        impl = None  # block path only supports the 3x3/s1/p1 configuration
+    if impl is None:
+        n_pos = x.shape[0] * x.shape[1] * x.shape[2]
+        impl = ("tap_loop" if (n_pos > _TAP_LOOP_THRESHOLD and groups == 1)
+                else "columns")
+    if impl == "block":
+        from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
+
+        return modulated_deform_conv_block(
+            x, offset, mask, weight, bias, padding=_pair(padding)[0],
+            deformable_groups=deformable_groups,
+            max_offset=_BLOCK_MAX_OFFSET, compute_dtype=compute_dtype)
+    if impl == "tap_loop":
+        return _modulated_deform_conv_tap_loop(
+            x, offset, mask, weight, bias, stride, padding, dilation, groups,
+            deformable_groups, compute_dtype)
     k = kh * kw
     cols = deform_conv_columns(
         x, offset, mask, (kh, kw), stride, padding, dilation, deformable_groups

@@ -110,3 +110,66 @@ class TestGrad:
 
         out = g(*map(lambda a: jnp.asarray(a, jnp.float32), (x, off, m, wgt, b)))
         assert out.shape == x.shape
+
+
+class TestTapLoopImpl:
+    def test_tap_loop_matches_columns(self):
+        x, off, m, wgt, b = make_inputs(b=2, h=10, w=9, cin=8, cout=6, dg=4,
+                                        seed=13)
+        args = tuple(map(jnp.asarray, (x, off, m, wgt, b)))
+        a = dc.modulated_deform_conv(*args, 1, 1, 1, 1, 4, impl="columns")
+        t = dc.modulated_deform_conv(*args, 1, 1, 1, 1, 4, impl="tap_loop")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(t), atol=1e-10)
+
+    def test_tap_loop_grads_match(self):
+        x, off, m, wgt, b = make_inputs(b=1, h=6, w=6, cin=4, cout=4, dg=2,
+                                        seed=14)
+        args = tuple(map(jnp.asarray, (x, off, m, wgt, b)))
+
+        def loss(impl):
+            def f(*a):
+                return jnp.sum(
+                    dc.modulated_deform_conv(*a, 1, 1, 1, 1, 2, impl=impl) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2, 3))(*args)
+
+        ga = loss("columns")
+        gt = loss("tap_loop")
+        for a_, t_ in zip(ga, gt):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(t_),
+                                       atol=1e-8)
+
+
+class TestBlockImpl:
+    def test_block_matches_exact_within_clamp(self):
+        rng = np.random.default_rng(21)
+        b, h, w, cin, dgq, r = 2, 24, 40, 16, 4, 8
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)))
+        off = jnp.asarray(np.clip(rng.normal(size=(b, h, w, dgq * 9 * 2)) * 2,
+                                  -r + 0.5, r - 0.5))
+        m = jnp.asarray(rng.uniform(size=(b, h, w, dgq * 9)))
+        wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 8)) * 0.2)
+        bias = jnp.asarray(rng.normal(size=(8,)) * 0.1)
+        exact = dc.modulated_deform_conv(x, off, m, wgt, bias, 1, 1, 1, 1,
+                                         dgq, impl="columns")
+        prev = dc.set_default_impl("block", block_max_offset=r)
+        try:
+            blk = dc.modulated_deform_conv(x, off, m, wgt, bias, 1, 1, 1, 1,
+                                           dgq)
+        finally:
+            dc.set_default_impl(*prev)
+        np.testing.assert_allclose(np.asarray(blk), np.asarray(exact),
+                                   atol=1e-5)
+
+    def test_block_falls_back_for_unsupported_configs(self):
+        """5x5 kernel → block impl silently falls back to the exact path."""
+        rng = np.random.default_rng(22)
+        x = jnp.asarray(rng.normal(size=(1, 12, 12, 8)), jnp.float32)
+        off = jnp.asarray(rng.normal(size=(1, 12, 12, 2 * 25 * 2)), jnp.float32)
+        m = jnp.asarray(rng.uniform(size=(1, 12, 12, 2 * 25)), jnp.float32)
+        wgt = jnp.asarray(rng.normal(size=(5, 5, 8, 4)) * 0.1, jnp.float32)
+        prev = dc.set_default_impl("block")
+        try:
+            out = dc.modulated_deform_conv(x, off, m, wgt, None, 1, 2, 1, 1, 2)
+        finally:
+            dc.set_default_impl(*prev)
+        assert out.shape == (1, 12, 12, 4)
