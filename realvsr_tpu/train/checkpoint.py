@@ -54,6 +54,23 @@ def load_network(path: str, params_template):
     return restore_pytree(path, params_template)
 
 
+def load_network_separately(path_a: str, path_b: str, name_a: str,
+                            name_b: str, params_template):
+    """Two-checkpoint merge (base_model.py:99-119): take submodules whose
+    top-level name contains name_a from checkpoint A, name_b from B."""
+    pa = load_network(path_a, params_template)
+    pb = load_network(path_b, params_template)
+    merged = {}
+    for key in params_template:
+        if name_a in key:
+            merged[key] = pa[key]
+        elif name_b in key:
+            merged[key] = pb[key]
+        else:
+            merged[key] = pa[key]
+    return merged
+
+
 def save_training_state(state_dir: str, step: int, epoch: int, opt_state) -> None:
     """Trainer-state checkpoint (base_model.py:121-130)."""
     tree = {"step": np.asarray(step), "epoch": np.asarray(epoch),

@@ -102,6 +102,7 @@ class Trainer:
         assert self.train_loader is not None
 
         # model + state
+        self.is_gan = "GAN" in (opt["model"] or "")
         self.model = define_g(opt)
         ds_train = opt["datasets"]["train"]
         nf = ds_train["N_frames"]
@@ -110,22 +111,45 @@ class Trainer:
         sample = jnp.zeros((1, nf, size // (opt.get("scale") or 1),
                             size // (opt.get("scale") or 1), nc), jnp.float32)
         seed = int(opt["train"].get("manual_seed") or 0)
-        self.state = create_train_state(self.model, opt, sample,
-                                        jax.random.PRNGKey(seed))
+        if self.is_gan:
+            from realvsr_tpu.models import define_d
+            from realvsr_tpu.train.gan import create_gan_train_state
+
+            self.model_d = define_d(opt)
+            self.state = create_gan_train_state(
+                self.model, self.model_d, opt, sample, jax.random.PRNGKey(seed))
+        else:
+            self.state = create_train_state(self.model, opt, sample,
+                                            jax.random.PRNGKey(seed))
         n_params = sum(int(np.prod(p.shape))
-                       for p in jax.tree_util.tree_leaves(self.state.params))
+                       for p in jax.tree_util.tree_leaves(self.gen_params))
         logger.info(f"Network G: {type(self.model).__name__}, "
                     f"with parameters: {n_params:,d}")
 
         self.start_epoch, self.current_step = 0, 0
         self._load_or_resume()
 
-        self.train_step = jax.jit(make_train_step(self.model, opt),
-                                  donate_argnums=0)
+        if self.is_gan:
+            from realvsr_tpu.train.gan import make_gan_split_train_step
+
+            self.train_step = jax.jit(
+                make_gan_split_train_step(self.model, opt), donate_argnums=0)
+        else:
+            self.train_step = jax.jit(make_train_step(self.model, opt),
+                                      donate_argnums=0)
         self.eval_step = jax.jit(make_eval_step(self.model))
         self.rng = jax.random.PRNGKey(seed + 7)
 
+    @property
+    def gen_params(self):
+        return self.state.params_g if self.is_gan else self.state.params
+
     # ------------------------------------------------------------------
+    def _opt_state_tree(self):
+        if self.is_gan:
+            return {"g": self.state.opt_state_g, "d": self.state.opt_state_d}
+        return self.state.opt_state
+
     def _load_or_resume(self):
         opt = self.opt
         resume_path = opt["path"].get("resume_state")
@@ -133,17 +157,28 @@ class Trainer:
             step_str = osp.basename(resume_path).split(".")[0]
             check_resume(opt, step_str)
             step, epoch, opt_state = ckpt.load_training_state(
-                resume_path, self.state.opt_state)
+                resume_path, self._opt_state_tree())
             params = ckpt.load_network(opt["path"]["pretrain_model_G"],
-                                       self.state.params)
-            self.state = self.state.replace(params=params, opt_state=opt_state,
-                                            step=step)
+                                       self.gen_params)
+            if self.is_gan:
+                params_d = ckpt.load_network(opt["path"]["pretrain_model_D"],
+                                             self.state.params_d)
+                self.state = self.state.replace(
+                    params_g=params, params_d=params_d,
+                    opt_state_g=opt_state["g"], opt_state_d=opt_state["d"],
+                    step=step)
+            else:
+                self.state = self.state.replace(params=params,
+                                                opt_state=opt_state, step=step)
             self.start_epoch, self.current_step = epoch, step
             logger.info(f"Resuming training from epoch {epoch}, iter {step}.")
         elif opt["path"].get("pretrain_model_G"):
             params = ckpt.load_network(opt["path"]["pretrain_model_G"],
-                                       self.state.params)
-            self.state = self.state.replace(params=params)
+                                       self.gen_params)
+            if self.is_gan:
+                self.state = self.state.replace(params_g=params)
+            else:
+                self.state = self.state.replace(params=params)
             logger.info(
                 f"Loaded pretrained G from {opt['path']['pretrain_model_G']}")
 
@@ -154,7 +189,7 @@ class Trainer:
         psnr_by_folder = defaultdict(list)
         for batch in self.val_loader:
             lqs = jnp.asarray(batch["LQs"], jnp.float32)
-            out = self.eval_step(self.state.params, lqs)
+            out = self.eval_step(self.gen_params, lqs)
             out_np = np.asarray(out[0], np.float32)
             gt = np.asarray(batch["GT"][0], np.float32)
             psnr = metric_ops.calculate_psnr_np(
@@ -173,10 +208,13 @@ class Trainer:
         if not is_main_process():
             return
         ckpt.save_network(self.opt["path"]["models"], "G", step,
-                          jax.device_get(self.state.params))
+                          jax.device_get(self.gen_params))
+        if self.is_gan:
+            ckpt.save_network(self.opt["path"]["models"], "D", step,
+                              jax.device_get(self.state.params_d))
         if isinstance(step, int):
             ckpt.save_training_state(self.opt["path"]["training_state"], step,
-                                     epoch, self.state.opt_state)
+                                     epoch, self._opt_state_tree())
         logger.info("Saved models and training states.")
 
     # ------------------------------------------------------------------
