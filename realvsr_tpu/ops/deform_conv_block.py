@@ -70,12 +70,27 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
         x.astype(dt),
         ((0, 0), (r + 1, r + 2 + h_pad), (r + 1, r + 2 + w_pad), (0, 0)))
 
-    # (B, nby, nbx, C*PH*PW) with feature order (C, PH, PW)
-    patches = jax.lax.conv_general_dilated_patches(
-        x_pad, filter_shape=(ph, pw), window_strides=(bh, bw),
-        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # halo'd block patches via two-stage strided slice-stacks (pure copies;
+    # conv_general_dilated_patches lowers as a real PH*PW-tap conv — ~700
+    # GMAC of hidden work at full-res, measured 10x the rest of the op)
+    hp = x_pad.shape[1]
+    wp = x_pad.shape[2]
+    rows = jnp.stack(
+        [jax.lax.slice(x_pad, (0, dy, 0, 0),
+                       (b, dy + (nby - 1) * bh + 1, wp, cin),
+                       (1, bh, 1, 1)) for dy in range(ph)],
+        axis=2)  # (B, nby, PH, Wp, C)
+    patches = jnp.stack(
+        [jax.lax.slice(rows, (0, 0, 0, dx, 0),
+                       (b, nby, ph, dx + (nbx - 1) * bw + 1, cin),
+                       (1, 1, 1, bw, 1))
+         for dx in range(pw)],
+        axis=4)  # (B, nby, PH, nbx, PW, C)
     n_all = b * nby * nbx
-    patches = patches.reshape(n_all, dg, cpg, ph, pw)
+    # → (n_all, PH, PW, dg, cpg) → (n_all, dg, PH, PW*cpg) later; keep the
+    # channel axis last to avoid a big transpose (it is already minor)
+    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n_all, ph, pw, dg, cpg)
 
     # offsets / mask on the block grid → (n_all, bh, bw, dg, k[, 2])
     off = offset.reshape(b, h, w, dg, k, 2).astype(jnp.float32)
@@ -142,12 +157,10 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
         # q = (bh, bw, k) flattened per group
         wy_q = wy.transpose(0, 3, 1, 2, 4, 5).reshape(ch, dg, q, ph)
         wx_q = wx.transpose(0, 3, 1, 2, 4, 5).reshape(ch, dg, q, pw)
-        pg_m = pg.transpose(0, 1, 3, 4, 2).reshape(ch, dg, ph, pw * cpg)
 
-        # vertical: (q, PH) @ (PH, PW*cpg) per (chunk, group) — MXU
-        v = jnp.einsum("ngqP,ngPm->ngqm", wy_q, pg_m,
+        # vertical contraction over PH (MXU); pg is (ch, PH, PW, dg, cpg)
+        v = jnp.einsum("ngqP,nPQgc->ngqQc", wy_q, pg,
                        preferred_element_type=dt)
-        v = v.reshape(ch, dg, q, pw, cpg)
         # horizontal: weighted reduce over PW — VPU
         sampled = jnp.einsum("ngqQ,ngqQc->ngqc", wx_q, v,
                              preferred_element_type=dt)

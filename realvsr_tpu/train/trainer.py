@@ -184,10 +184,17 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def validate(self, step: int) -> float:
+        """Validation PSNR; clips are round-robined over processes like the
+        reference's distributed validation (train.py:230-255), aggregated
+        with a host all-gather instead of dist.reduce."""
         if self.val_loader is None:
             return float("nan")
         psnr_by_folder = defaultdict(list)
-        for batch in self.val_loader:
+        n_proc = jax.process_count()
+        rank = jax.process_index()
+        for i, batch in enumerate(self.val_loader):
+            if i % n_proc != rank:
+                continue
             lqs = jnp.asarray(batch["LQs"], jnp.float32)
             out = self.eval_step(self.gen_params, lqs)
             out_np = np.asarray(out[0], np.float32)
@@ -195,6 +202,18 @@ class Trainer:
             psnr = metric_ops.calculate_psnr_np(
                 np.clip(out_np, 0, 1) * 255.0, gt * 255.0)
             psnr_by_folder[batch["folder"][0]].append(psnr)
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            local = np.array([sum(sum(v) for v in psnr_by_folder.values()),
+                              sum(len(v) for v in psnr_by_folder.values())])
+            gathered = np.asarray(multihost_utils.process_allgather(local))
+            total, count = gathered.sum(axis=0)
+            psnr_avg = float(total / max(count, 1))
+            logger.info(f"# Validation # PSNR: {psnr_avg:.6f}.")
+            if self.tb:
+                self.tb.add_scalar("psnr_avg", psnr_avg, step)
+            return psnr_avg
         folder_means = {k: float(np.mean(v)) for k, v in psnr_by_folder.items()}
         psnr_avg = float(np.mean(list(folder_means.values())))
         for k, v in folder_means.items():

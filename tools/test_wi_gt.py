@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True)
+    parser.add_argument("--dcn_impl", type=str, default=None,
+                        choices=["columns", "tap_loop", "block"],
+                        help="DCN implementation override (block = fast, "
+                             "offsets clamped to ±8 px)")
     parser.add_argument("--platform", type=str, default=None)
     parser.add_argument("--save_imgs", action="store_true")
     parser.add_argument("--flip_test", action="store_true")
@@ -36,6 +40,11 @@ def main():
     from realvsr_tpu.models import define_g
     from realvsr_tpu.train import checkpoint as ckpt
     from realvsr_tpu.train.trainer import setup_logger
+
+    if args.dcn_impl:
+        from realvsr_tpu.ops.deform_conv import set_default_impl
+
+        set_default_impl(args.dcn_impl)
 
     opt = parse(args.opt, is_train=False)
     results_root = opt["path"]["results_root"]

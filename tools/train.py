@@ -17,6 +17,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True,
                         help="Path to option YAML file.")
+    parser.add_argument("--dcn_impl", type=str, default=None,
+                        choices=["columns", "tap_loop", "block"],
+                        help="DCN implementation override (block = fast, "
+                             "offsets clamped to ±8 px)")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (e.g. cpu for smoke runs).")
     args = parser.parse_args()
@@ -29,6 +33,11 @@ def main():
 
     from realvsr_tpu.core.config import parse
     from realvsr_tpu.train.trainer import Trainer
+
+    if args.dcn_impl:
+        from realvsr_tpu.ops.deform_conv import set_default_impl
+
+        set_default_impl(args.dcn_impl)
 
     opt = parse(args.opt, is_train=True)
     trainer = Trainer(opt)
