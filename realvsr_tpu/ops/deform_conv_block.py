@@ -38,7 +38,7 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
                                 deformable_groups: int = 8,
                                 max_offset: int = 8,
                                 block: tuple[int, int] = (8, 16),
-                                chunk_blocks: int = 16,
+                                chunk_blocks: int = 128,
                                 compute_dtype=None) -> jax.Array:
     """DCNv2 with offsets clamped to [-max_offset, max_offset], NHWC.
 
