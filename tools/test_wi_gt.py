@@ -57,7 +57,13 @@ def main():
     nc = opt["network_G"].get("nc") or 3
     sample = jnp.zeros((1, n_frames, 64, 64, nc), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), sample)["params"]
-    params = ckpt.load_network(opt["path"]["pretrain_model_G"], params)
+    if opt["path"].get("pretrain_model_G"):
+        params = ckpt.load_network(opt["path"]["pretrain_model_G"], params)
+    else:
+        import logging
+
+        logging.getLogger("base").warning(
+            "No pretrain_model_G given — evaluating randomly initialized G.")
 
     evaluate_wi_gt(
         model, params,
