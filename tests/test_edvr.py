@@ -106,3 +106,22 @@ def test_edvr_param_count_matches_reference(ref_edvr):
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     ours_count = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     assert ours_count == ref_count
+
+
+def test_edvr_block_dcn_matches_exact_at_init():
+    """With zero-init offset convs, block-impl EDVR must equal the exact
+    path bit-for-bit-ish (offsets are exactly 0 → no clamping)."""
+    from realvsr_tpu.ops import deform_conv as dc
+
+    model = EDVRNoUp(nf=16, nc=3, nframes=3, groups=4, front_RBs=1,
+                     back_RBs=1, w_TSA=False)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((1, 3, 32, 48, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    exact = np.asarray(model.apply({"params": params}, x))
+    prev = dc.set_default_impl("block")
+    try:
+        blk = np.asarray(model.apply({"params": params}, x))
+    finally:
+        dc.set_default_impl(*prev)
+    np.testing.assert_allclose(blk, exact, atol=2e-5)
