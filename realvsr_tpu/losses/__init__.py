@@ -10,7 +10,7 @@ from __future__ import annotations
 from functools import partial
 
 from realvsr_tpu.losses.basic import (charbonnier_loss, gw_loss, huber_loss,
-                                      l1_loss, l2_loss, tv_loss)
+                                      l1_loss, l2_loss, style_loss, tv_loss)
 from realvsr_tpu.losses.gan import gan_loss, gradient_penalty
 from realvsr_tpu.losses.pyramid import lap_pyr_loss, pyramid_loss
 from realvsr_tpu.losses.ssim import (ms_ssim_loss, ms_ssim_value, ssim_loss,
@@ -37,6 +37,6 @@ def get_pixel_criterion(name: str):
 __all__ = [
     "get_pixel_criterion", "l1_loss", "l2_loss", "charbonnier_loss",
     "huber_loss", "gw_loss", "tv_loss", "pyramid_loss", "lap_pyr_loss",
-    "ssim_loss", "ssim_value", "ms_ssim_loss", "ms_ssim_value", "gan_loss",
+    "ssim_loss", "ssim_value", "ms_ssim_loss", "ms_ssim_value", "gan_loss", "style_loss",
     "gradient_penalty",
 ]

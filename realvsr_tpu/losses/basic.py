@@ -56,6 +56,16 @@ def _sobel(x, kernel):
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
 
 
+def style_loss(x, target):
+    """Gram-matrix MSE (loss.py:83-99); target is stop-gradient'd."""
+    def gram(v):
+        b, h, w_, c = v.shape
+        feats = v.transpose(0, 3, 1, 2).reshape(b * c, h * w_)
+        return (feats @ feats.T) / (b * c * h * w_)
+
+    return jnp.mean((gram(x) - jax.lax.stop_gradient(gram(target))) ** 2)
+
+
 def gw_loss(x1, x2, w: float = 4.0, reduction="mean"):
     """Gradient-weighted L1 (loss.py:54-80): (1+w|dIx|)(1+w|dIy|)|x1-x2|."""
     dx = jnp.abs(_sobel(x1, _SOBEL_X) - _sobel(x2, _SOBEL_X))

@@ -103,6 +103,33 @@ def load_vgg19_weights(params, torch_path: str):
     return new
 
 
+class Vgg19(nn.Module):
+    """3-slice VGG19 feature pyramid (relu1_2, relu2_2, relu3_2) —
+    VGG_arch.py:149-184."""
+
+    use_input_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.use_input_norm:
+            x = (x - _IMAGENET_MEAN.reshape(1, 1, 1, 3)) / _IMAGENET_STD.reshape(
+                1, 1, 1, 3)
+        conv = lambda cout, name: Conv2d(cout, 3, dtype=self.dtype, name=name)
+        h = nn.relu(conv(64, "conv0")(x))
+        h = nn.relu(conv(64, "conv1")(h))
+        h_relu1_2 = h
+        h = _max_pool2(h)
+        h = nn.relu(conv(128, "conv2")(h))
+        h = nn.relu(conv(128, "conv3")(h))
+        h_relu2_2 = h
+        h = _max_pool2(h)
+        h = nn.relu(conv(256, "conv4")(h))
+        h = nn.relu(conv(256, "conv5")(h))
+        h_relu3_2 = h
+        return h_relu1_2, h_relu2_2, h_relu3_2
+
+
 class _DiscriminatorVGG(nn.Module):
     """Shared body of Discriminator_VGG_128/192 (VGG_arch.py:8-117)."""
 

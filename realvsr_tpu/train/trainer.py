@@ -129,14 +129,38 @@ class Trainer:
         self.start_epoch, self.current_step = 0, 0
         self._load_or_resume()
 
+        # optional frozen VGG feature extractor for perceptual losses
+        feature_apply = None
+        t_opt = opt["train"]
+        if t_opt.get("feature_criterion") and float(
+                t_opt.get("feature_weight") or 0.0) > 0:
+            from realvsr_tpu.models import define_f
+
+            net_f = define_f(opt)
+            f_params = net_f.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 64, 64, 3)))["params"]
+            if opt["path"].get("vgg_weights"):
+                from realvsr_tpu.models.vgg import load_vgg19_weights
+
+                f_params = load_vgg19_weights(f_params,
+                                              opt["path"]["vgg_weights"])
+            else:
+                logger.warning("feature loss enabled without path.vgg_weights"
+                               " — using randomly initialized VGG features")
+            feature_apply = lambda x: net_f.apply({"params": f_params}, x)
+
         if self.is_gan:
             from realvsr_tpu.train.gan import make_gan_split_train_step
 
             self.train_step = jax.jit(
-                make_gan_split_train_step(self.model, opt), donate_argnums=0)
+                make_gan_split_train_step(self.model, opt,
+                                          feature_apply=feature_apply),
+                donate_argnums=0)
         else:
-            self.train_step = jax.jit(make_train_step(self.model, opt),
-                                      donate_argnums=0)
+            self.train_step = jax.jit(
+                make_train_step(self.model, opt, feature_apply=feature_apply)
+                if feature_apply is not None else make_train_step(self.model, opt),
+                donate_argnums=0)
         self.eval_step = jax.jit(make_eval_step(self.model))
         self.rng = jax.random.PRNGKey(seed + 7)
 
