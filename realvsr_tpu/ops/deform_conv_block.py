@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
@@ -39,7 +38,9 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
                                 max_offset: int = 8,
                                 block: tuple[int, int] = (8, 16),
                                 chunk_blocks: int = 128,
-                                compute_dtype=None) -> jax.Array:
+                                compute_dtype=None,
+                                use_pallas: bool = False,
+                                pallas_interpret: bool = False) -> jax.Array:
     """DCNv2 with offsets clamped to [-max_offset, max_offset], NHWC.
 
     Semantics otherwise match
@@ -73,7 +74,6 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     # halo'd block patches via two-stage strided slice-stacks (pure copies;
     # conv_general_dilated_patches lowers as a real PH*PW-tap conv — ~700
     # GMAC of hidden work at full-res, measured 10x the rest of the op)
-    hp = x_pad.shape[1]
     wp = x_pad.shape[2]
     rows = jnp.stack(
         [jax.lax.slice(x_pad, (0, dy, 0, 0),
@@ -116,6 +116,30 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
 
     # weight per tap/group: (k, dg, cpg, cout) → used in the final einsum
     wt = weight.astype(dt).reshape(k, dg, cpg, cout)
+
+    if use_pallas:
+        from realvsr_tpu.ops.pallas.dcn_block_kernel import dcn_block_fused
+
+        msk_in = msk if msk is not None else jnp.ones(
+            (n_all, bh, bw, dg, k), dt)
+        qn = bh * bw * k
+        # q ordered (tap, pixel): (n, bh, bw, dg, k) → (n, dg, k, bh, bw)
+        to_q = lambda a, dtp: a.transpose(0, 3, 4, 1, 2).reshape(
+            n_all, dg, qn, 1).astype(dtp)
+        ly_q = to_q(ly, jnp.float32)
+        lx_q = to_q(lx, jnp.float32)
+        m_q = to_q(msk_in, dt)
+        pg_m = patches.transpose(0, 3, 1, 2, 4).reshape(
+            n_all, dg, ph, pw * cpg)
+        wt_p = weight.astype(dt).reshape(k, dg, cpg, cout).transpose(
+            1, 0, 2, 3)
+        out = dcn_block_fused(pg_m, ly_q, lx_q, m_q, wt_p,
+                              interpret=pallas_interpret)
+        out = out.reshape(b, nby, nbx, bh, bw, cout).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, nby * bh, nbx * bw, cout)[:, :h, :w]
+        if bias is not None:
+            out = out + bias.astype(dt)
+        return out
 
     q = bh * bw * k
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, 1, ph), 5)

@@ -173,3 +173,23 @@ class TestBlockImpl:
         finally:
             dc.set_default_impl(*prev)
         assert out.shape == (1, 12, 12, 4)
+
+
+class TestPallasFusedKernel:
+    def test_interpret_matches_xla_block(self):
+        from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
+
+        rng = np.random.default_rng(31)
+        b, h, w, cin, dgq, r = 1, 16, 32, 16, 4, 3
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+        off = jnp.asarray(
+            np.clip(rng.normal(size=(b, h, w, dgq * 9 * 2)) * 2, -r + .2, r - .2),
+            jnp.float32)
+        m = jnp.asarray(rng.uniform(size=(b, h, w, dgq * 9)), jnp.float32)
+        wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 8)) * 0.2, jnp.float32)
+        ref = modulated_deform_conv_block(x, off, m, wgt, None, 1, dgq,
+                                          max_offset=r)
+        pal = modulated_deform_conv_block(x, off, m, wgt, None, 1, dgq,
+                                          max_offset=r, use_pallas=True,
+                                          pallas_interpret=True)
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=5e-6)
