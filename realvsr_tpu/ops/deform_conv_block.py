@@ -123,18 +123,49 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
         msk_in = msk if msk is not None else jnp.ones(
             (n_all, bh, bw, dg, k), dt)
         qn = bh * bw * k
-        # q ordered (tap, pixel): (n, bh, bw, dg, k) → (n, dg, k, bh, bw)
-        to_q = lambda a, dtp: a.transpose(0, 3, 4, 1, 2).reshape(
-            n_all, dg, qn, 1).astype(dtp)
-        ly_q = to_q(ly, jnp.float32)
-        lx_q = to_q(lx, jnp.float32)
-        m_q = to_q(msk_in, dt)
-        pg_m = patches.transpose(0, 3, 1, 2, 4).reshape(
-            n_all, dg, ph, pw * cpg)
-        wt_p = weight.astype(dt).reshape(k, dg, cpg, cout).transpose(
-            1, 0, 2, 3)
-        out = dcn_block_fused(pg_m, ly_q, lx_q, m_q, wt_p,
-                              interpret=pallas_interpret)
+        # per-group tap weights repeated over PW: (dg, k, cpg*PW, cout)
+        wt_big = jnp.repeat(
+            weight.astype(dt).reshape(k, dg, cpg, cout).transpose(1, 0, 2, 3),
+            pw, axis=2)
+        # patch feature axis ordered (channel, column): (n, dg, PH, cpg*PW)
+        pg_m = patches.transpose(0, 3, 1, 4, 2).reshape(
+            n_all, dg, ph, cpg * pw)
+        ch = chunk_blocks
+        n_pad2 = (-n_all) % ch
+        ly_p, lx_p, mk_p, pg_p = ly, lx, msk_in, pg_m
+        if n_pad2:
+            padn = lambda a: jnp.pad(a, ((0, n_pad2),) + ((0, 0),) * (a.ndim - 1))
+            ly_p, lx_p, mk_p, pg_p = (padn(ly), padn(lx), padn(msk_in),
+                                      padn(pg_m))
+        io_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ph), 3)
+        io_q = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, pw), 3)
+
+        def process_pallas(ci):
+            s0 = ci * ch
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s0, ch, 0)
+            # q ordered (tap, pixel): (ch, bh, bw, dg, k) → (ch, dg, k, bh*bw)
+            to_q = lambda a: a.transpose(0, 3, 4, 1, 2).reshape(
+                ch, dg, qn)[..., None]
+            ly_q = to_q(sl(ly_p))
+            lx_q = to_q(sl(lx_p))
+            m_q = to_q(sl(mk_p).astype(jnp.float32))
+            y0q = jnp.floor(ly_q)
+            tyq = (ly_q - y0q).astype(dt)
+            x0q = jnp.floor(lx_q)
+            txq = (lx_q - x0q).astype(dt)
+            y0i = y0q.astype(jnp.int32)
+            x0i = x0q.astype(jnp.int32)
+            wy_q = ((io_p == y0i).astype(dt) * (1 - tyq)
+                    + (io_p == y0i + 1).astype(dt) * tyq)
+            wx_q = (((io_q == x0i).astype(dt) * (1 - txq)
+                     + (io_q == x0i + 1).astype(dt) * txq)
+                    * m_q.astype(dt))
+            return dcn_block_fused(sl(pg_p), wy_q, wx_q, wt_big, cpg=cpg,
+                                   interpret=pallas_interpret)
+
+        out = jax.lax.map(process_pallas,
+                          jnp.arange((n_all + n_pad2) // ch))
+        out = out.reshape(n_all + n_pad2, bh * bw, cout)[:n_all]
         out = out.reshape(b, nby, nbx, bh, bw, cout).transpose(
             0, 1, 3, 2, 4, 5).reshape(b, nby * bh, nbx * bw, cout)[:, :h, :w]
         if bias is not None:
