@@ -145,3 +145,39 @@ class TestCheckpoint:
             step, epoch, opt_state = ckpt.load_training_state(
                 os.path.join(d, "100.state"), state.opt_state)
             assert step == 100 and epoch == 3
+
+
+class TestFtTsaOnly:
+    def test_non_tsa_params_frozen_before_threshold(self):
+        """ft_tsa_only freezes non-tsa_fusion params for the first N steps
+        (reference sets group-0 LR to zero, VideoSR_..._Split.py:160-165)."""
+        opt = dict(OPT, augment=None)
+        opt["train"] = dict(TRAIN_OPT, ft_tsa_only=2,
+                            pixel_criterion_y="cb", pixel_criterion_c="cb")
+        model = EDVRNoUp(nf=16, nc=3, nframes=3, groups=4, front_RBs=1,
+                         back_RBs=1, w_TSA=True)
+        batch = tiny_batch(b=2)
+        state = create_train_state(model, opt, batch["LQs"][:1],
+                                   jax.random.PRNGKey(0))
+        step_fn = jax.jit(make_split_train_step(model, opt))
+
+        def split_leaves(params):
+            tsa, other = [], []
+            def walk(path, leaf):
+                (tsa if any("tsa_fusion" in p.key for p in path) else
+                 other).append(np.asarray(leaf))
+                return leaf
+            jax.tree_util.tree_map_with_path(walk, params)
+            return tsa, other
+
+        tsa0, other0 = split_leaves(state.params)
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+        tsa1, other1 = split_leaves(state.params)
+        # step 1 (< 2): only TSA params moved
+        assert any(np.abs(a - b).max() > 0 for a, b in zip(tsa0, tsa1))
+        assert all(np.array_equal(a, b) for a, b in zip(other0, other1))
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(2))
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(3))
+        _, other3 = split_leaves(state.params)
+        # past the threshold: non-TSA params move too
+        assert any(np.abs(a - b).max() > 0 for a, b in zip(other1, other3))
