@@ -92,27 +92,34 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
         n_all, ph, pw, dg, cpg)
 
-    # offsets / mask on the block grid → (n_all, bh, bw, dg, k[, 2])
-    off = offset.reshape(b, h, w, dg, k, 2).astype(jnp.float32)
+    # offsets / mask on the block grid, minor dims kept flattened so TPU
+    # lane padding stays ~2x instead of 14-64x (these tensors are saved for
+    # the backward pass at training time)
+    off = offset.reshape(b, h, w, dg * k * 2).astype(jnp.float32)
     off = jnp.clip(off, -float(r), float(r))
-    off = jnp.pad(off, ((0, 0), (0, h_pad), (0, w_pad), (0, 0), (0, 0), (0, 0)))
-    off = off.reshape(b, nby, bh, nbx, bw, dg, k, 2).transpose(
-        0, 1, 3, 2, 4, 5, 6, 7).reshape(n_all, bh, bw, dg, k, 2)
+    off = jnp.pad(off, ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+    off = off.reshape(b, nby, bh, nbx, bw, dg * k * 2).transpose(
+        0, 1, 3, 2, 4, 5).reshape(n_all, bh, bw, dg * k * 2)
     if mask is not None:
-        msk = mask.reshape(b, h, w, dg, k).astype(dt)
-        msk = jnp.pad(msk, ((0, 0), (0, h_pad), (0, w_pad), (0, 0), (0, 0)))
-        msk = msk.reshape(b, nby, bh, nbx, bw, dg, k).transpose(
-            0, 1, 3, 2, 4, 5, 6).reshape(n_all, bh, bw, dg, k)
+        msk = mask.reshape(b, h, w, dg * k).astype(dt)
+        msk = jnp.pad(msk, ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+        msk = msk.reshape(b, nby, bh, nbx, bw, dg * k).transpose(
+            0, 1, 3, 2, 4, 5).reshape(n_all, bh, bw, dg * k)
     else:
         msk = None
 
-    # local coords: ly = pyl + r + i + dy ; lx = pxl + r + j + dx
+    # local coordinate helpers (applied per chunk; see _coords)
     pyl = jnp.arange(bh, dtype=jnp.float32)[None, :, None, None, None]
     pxl = jnp.arange(bw, dtype=jnp.float32)[None, None, :, None, None]
     ki = (jnp.arange(k, dtype=jnp.float32) // kw)[None, None, None, None, :]
     kj = (jnp.arange(k, dtype=jnp.float32) % kw)[None, None, None, None, :]
-    ly = pyl + r + ki + off[..., 0]  # (n, bh, bw, dg, k)
-    lx = pxl + r + kj + off[..., 1]
+
+    def _coords(off_c):
+        """(ch, bh, bw, dg*k*2) → ly, lx of shape (ch, bh, bw, dg, k)."""
+        oc = off_c.reshape(off_c.shape[0], bh, bw, dg, k, 2)
+        ly_c = pyl + r + ki + oc[..., 0]
+        lx_c = pxl + r + kj + oc[..., 1]
+        return ly_c, lx_c
 
     # weight per tap/group: (k, dg, cpg, cout) → used in the final einsum
     wt = weight.astype(dt).reshape(k, dg, cpg, cout)
@@ -121,7 +128,7 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
         from realvsr_tpu.ops.pallas.dcn_block_kernel import dcn_block_fused
 
         msk_in = msk if msk is not None else jnp.ones(
-            (n_all, bh, bw, dg, k), dt)
+            (n_all, bh, bw, dg * k), dt)
         qn = bh * bw * k
         # per-group tap weights repeated over PW: (dg, k, cpg*PW, cout)
         wt_big = jnp.repeat(
@@ -132,23 +139,23 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
             n_all, dg, ph, cpg * pw)
         ch = chunk_blocks
         n_pad2 = (-n_all) % ch
-        ly_p, lx_p, mk_p, pg_p = ly, lx, msk_in, pg_m
+        off_p, mk_p, pg_p = off, msk_in, pg_m
         if n_pad2:
             padn = lambda a: jnp.pad(a, ((0, n_pad2),) + ((0, 0),) * (a.ndim - 1))
-            ly_p, lx_p, mk_p, pg_p = (padn(ly), padn(lx), padn(msk_in),
-                                      padn(pg_m))
+            off_p, mk_p, pg_p = padn(off), padn(msk_in), padn(pg_m)
         io_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ph), 3)
         io_q = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, pw), 3)
 
         def process_pallas(ci):
             s0 = ci * ch
             sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s0, ch, 0)
+            ly_c, lx_c = _coords(sl(off_p))
             # q ordered (tap, pixel): (ch, bh, bw, dg, k) → (ch, dg, k, bh*bw)
             to_q = lambda a: a.transpose(0, 3, 4, 1, 2).reshape(
                 ch, dg, qn)[..., None]
-            ly_q = to_q(sl(ly_p))
-            lx_q = to_q(sl(lx_p))
-            m_q = to_q(sl(mk_p).astype(jnp.float32))
+            ly_q = to_q(ly_c)
+            lx_q = to_q(lx_c)
+            m_q = to_q(sl(mk_p).reshape(ch, bh, bw, dg, k).astype(jnp.float32))
             y0q = jnp.floor(ly_q)
             tyq = (ly_q - y0q).astype(dt)
             x0q = jnp.floor(lx_q)
@@ -181,18 +188,18 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     n_pad = (-n_all) % ch
     if n_pad:
         patches = jnp.pad(patches, ((0, n_pad),) + ((0, 0),) * 4)
-        ly = jnp.pad(ly, ((0, n_pad),) + ((0, 0),) * 4)
-        lx = jnp.pad(lx, ((0, n_pad),) + ((0, 0),) * 4)
+        off = jnp.pad(off, ((0, n_pad),) + ((0, 0),) * 3)
         if msk is not None:
-            msk = jnp.pad(msk, ((0, n_pad),) + ((0, 0),) * 4)
+            msk = jnp.pad(msk, ((0, n_pad),) + ((0, 0),) * 3)
     n_chunks = (n_all + n_pad) // ch
 
     def process(chunk_idx):
         s = chunk_idx * ch
         pg = jax.lax.dynamic_slice_in_dim(patches, s, ch, 0)
-        ly_c = jax.lax.dynamic_slice_in_dim(ly, s, ch, 0)
-        lx_c = jax.lax.dynamic_slice_in_dim(lx, s, ch, 0)
-        m_c = None if msk is None else jax.lax.dynamic_slice_in_dim(msk, s, ch, 0)
+        off_c = jax.lax.dynamic_slice_in_dim(off, s, ch, 0)
+        ly_c, lx_c = _coords(off_c)
+        m_c = None if msk is None else jax.lax.dynamic_slice_in_dim(
+            msk, s, ch, 0).reshape(ch, bh, bw, dg, k)
 
         y0 = jnp.floor(ly_c)
         ty = (ly_c - y0).astype(dt)
@@ -225,7 +232,9 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
                          preferred_element_type=acc_t)
         return out.astype(dt)  # (ch, bh*bw, cout)
 
-    out = jax.lax.map(process, jnp.arange(n_chunks))
+    # remat: without this, lax.map's backward saves every chunk's v
+    # intermediate (~80 GB at training shapes); recompute it instead
+    out = jax.lax.map(jax.checkpoint(process), jnp.arange(n_chunks))
     out = out.reshape(n_chunks * ch, bh * bw, cout)[:n_all]
     out = out.reshape(b, nby, nbx, bh, bw, cout).transpose(0, 1, 3, 2, 4, 5)
     out = out.reshape(b, nby * bh, nbx * bw, cout)[:, :h, :w]
