@@ -164,6 +164,7 @@ class _EDVRBase(nn.Module):
     HR_in: bool = False
     w_TSA: bool = True
     dtype: Dtype = jnp.float32
+    remat: bool = False  # checkpoint PCD + trunks (training memory)
 
     @property
     def center_idx(self) -> int:
@@ -188,8 +189,9 @@ class _EDVRBase(nn.Module):
             h, w = h // 4, w // 4
         else:
             l1 = lrelu(Conv2d(nf, 3, dtype=dt, name="conv_first")(x_flat))
-        l1 = Blocks(ResidualBlockNoBN, self.front_RBs, dict(nf=nf, dtype=dt),
-                    name="feature_extraction")(l1)
+        BlocksT = nn.checkpoint(Blocks) if self.remat else Blocks
+        l1 = BlocksT(ResidualBlockNoBN, self.front_RBs, dict(nf=nf, dtype=dt),
+                     name="feature_extraction")(l1)
         l2 = lrelu(Conv2d(nf, 3, 2, dtype=dt, name="fea_L2_conv1")(l1))
         l2 = lrelu(Conv2d(nf, 3, dtype=dt, name="fea_L2_conv2")(l2))
         l3 = lrelu(Conv2d(nf, 3, 2, dtype=dt, name="fea_L3_conv1")(l2))
@@ -211,8 +213,9 @@ class _EDVRBase(nn.Module):
             jnp.broadcast_to(lv[:, ctr][:, None], lv.shape).reshape(nbr_i.shape)
             for lv, nbr_i in zip((l1v, l2v, l3v), nbr)
         ]
-        aligned = PCDAlign(nf=nf, groups=self.groups, dtype=dt,
-                           name="pcd_align")(nbr, ref)
+        PCDT = nn.checkpoint(PCDAlign) if self.remat else PCDAlign
+        aligned = PCDT(nf=nf, groups=self.groups, dtype=dt,
+                       name="pcd_align")(nbr, ref)
         aligned = aligned.reshape(b, n, h, w, nf)
 
         if self.w_TSA:
@@ -260,8 +263,9 @@ class EDVRNoUp(_EDVRBase):
         dt = self.dtype
         x_center = x[:, self.center_idx]
         fea = self.extract_and_align(x)
-        out = Blocks(ResidualBlockNoBN, self.back_RBs, dict(nf=self.nf, dtype=dt),
-                     name="recon_trunk")(fea)
+        BlocksT = nn.checkpoint(Blocks) if self.remat else Blocks
+        out = BlocksT(ResidualBlockNoBN, self.back_RBs,
+                      dict(nf=self.nf, dtype=dt), name="recon_trunk")(fea)
         out = lrelu(Conv2d(64, 3, dtype=dt, name="HRconv")(out))
         out = Conv2d(self.nc, 3, dtype=dt, name="conv_last")(out)
         return out + x_center
