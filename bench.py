@@ -35,7 +35,7 @@ def main():
 
     # fast DCN path for inference: shift-window MXU formulation with
     # offsets clamped to ±8 px (see ops/deform_conv_block.py, PERF_NOTES.md)
-    set_default_impl("block", block_max_offset=8)
+    set_default_impl("block", block_max_offset=8, block_chunk=128)
 
     dtype = jnp.bfloat16
     model = EDVRNoUp(nf=64, nc=3, nframes=NFRAMES, groups=8, front_RBs=5,

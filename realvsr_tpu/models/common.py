@@ -165,6 +165,9 @@ class DCNPack(nn.Module):
     groups: int = 1
     deformable_groups: int = 8
     extra_offset_mask: bool = True
+    remat: bool = True  # recompute the DCN in backward (its internals —
+    # im2col columns / per-tap gathers — dominate training memory otherwise;
+    # the reference CUDA backward also recomputes im2col)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -191,11 +194,17 @@ class DCNPack(nn.Module):
             (self.kernel_size, self.kernel_size, cin // self.groups, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return modulated_deform_conv(
-            x, offset, mask, weight, bias, self.stride, self.padding,
-            self.dilation, self.groups, self.deformable_groups,
-            compute_dtype=self.dtype,
-        )
+
+        def dcn(x_, offset_, mask_, weight_, bias_):
+            return modulated_deform_conv(
+                x_, offset_, mask_, weight_, bias_, self.stride, self.padding,
+                self.dilation, self.groups, self.deformable_groups,
+                compute_dtype=self.dtype,
+            )
+
+        if self.remat:
+            dcn = jax.checkpoint(dcn)
+        return dcn(x, offset, mask, weight, bias)
 
 
 class DeformConvModule(nn.Module):

@@ -155,19 +155,25 @@ _TAP_LOOP_THRESHOLD = 96 * 96 * 16
 # TPU for large inputs, with offsets clamped to ±_BLOCK_MAX_OFFSET.
 _DEFAULT_IMPL: str | None = None
 _BLOCK_MAX_OFFSET: int = 8
+# 32 keeps the backward's per-chunk v buffers small (training memory);
+# inference-only callers (bench/eval) may raise it to 128 for ~5% speed.
+_BLOCK_CHUNK: int = 32
 
 
-def set_default_impl(impl: str | None, block_max_offset: int | None = None):
+def set_default_impl(impl: str | None, block_max_offset: int | None = None,
+                     block_chunk: int | None = None):
     """Select the DCN implementation globally.
 
     impl: None (auto exact), 'columns', 'tap_loop', or 'block' (fast,
     clamped offsets).  Returns the previous setting.
     """
-    global _DEFAULT_IMPL, _BLOCK_MAX_OFFSET
-    prev = (_DEFAULT_IMPL, _BLOCK_MAX_OFFSET)
+    global _DEFAULT_IMPL, _BLOCK_MAX_OFFSET, _BLOCK_CHUNK
+    prev = (_DEFAULT_IMPL, _BLOCK_MAX_OFFSET, _BLOCK_CHUNK)
     _DEFAULT_IMPL = impl
     if block_max_offset is not None:
         _BLOCK_MAX_OFFSET = int(block_max_offset)
+    if block_chunk is not None:
+        _BLOCK_CHUNK = int(block_chunk)
     return prev
 
 
@@ -285,7 +291,8 @@ def modulated_deform_conv(x: jax.Array, offset: jax.Array, mask: jax.Array,
         return modulated_deform_conv_block(
             x, offset, mask, weight, bias, padding=_pair(padding)[0],
             deformable_groups=deformable_groups,
-            max_offset=_BLOCK_MAX_OFFSET, compute_dtype=compute_dtype)
+            max_offset=_BLOCK_MAX_OFFSET, chunk_blocks=_BLOCK_CHUNK,
+            compute_dtype=compute_dtype)
     if impl == "tap_loop":
         return _modulated_deform_conv_tap_loop(
             x, offset, mask, weight, bias, stride, padding, dilation, groups,
