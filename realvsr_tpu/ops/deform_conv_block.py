@@ -66,31 +66,91 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     ph = bh + 2 * r + 3
     pw = bw + 2 * r + 3
 
-    # zero-pad: r+1 before (tap -1 plus max negative offset), r+2+align after
+    # zero-pad: r+1 before (tap -1 plus max negative offset), r+2+align
+    # after, plus one extra block so partial q-group slices stay full-stride
     x_pad = jnp.pad(
         x.astype(dt),
-        ((0, 0), (r + 1, r + 2 + h_pad), (r + 1, r + 2 + w_pad), (0, 0)))
+        ((0, 0), (r + 1, r + 2 + h_pad + bh), (r + 1, r + 2 + w_pad + bw),
+         (0, 0)))
 
     # halo'd block patches via two-stage strided slice-stacks (pure copies;
     # conv_general_dilated_patches lowers as a real PH*PW-tap conv — ~700
-    # GMAC of hidden work at full-res, measured 10x the rest of the op)
+    # GMAC of hidden work at full-res, measured 10x the rest of the op).
+    # A custom VJP folds patch gradients back with two-stage scatter-adds:
+    # the autodiff transpose of the slice-stack materializes a 128x-padded
+    # per-slice cotangent (measured 1.4 GB per slice on TPU).
     wp = x_pad.shape[2]
-    rows = jnp.stack(
-        [jax.lax.slice(x_pad, (0, dy, 0, 0),
-                       (b, dy + (nby - 1) * bh + 1, wp, cin),
-                       (1, bh, 1, 1)) for dy in range(ph)],
-        axis=2)  # (B, nby, PH, Wp, C)
-    patches = jnp.stack(
-        [jax.lax.slice(rows, (0, 0, 0, dx, 0),
-                       (b, nby, ph, dx + (nbx - 1) * bw + 1, cin),
-                       (1, 1, 1, bw, 1))
-         for dx in range(pw)],
-        axis=4)  # (B, nby, PH, nbx, PW, C)
+    hp = x_pad.shape[1]
     n_all = b * nby * nbx
-    # → (n_all, PH, PW, dg, cpg) → (n_all, dg, PH, PW*cpg) later; keep the
-    # channel axis last to avoid a big transpose (it is already minor)
-    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
-        n_all, ph, pw, dg, cpg)
+
+    # Patch extraction via the stride/width factorization: writing the patch
+    # row index as dy = qy*bh + sy (qy < ceil(ph/bh)), the qy-th group of
+    # patch rows for ALL blocks is one contiguous reshape of x_pad rows
+    # [qy*bh : qy*bh + nby*bh] — so the whole extraction is ~ceil(ph/bh) +
+    # ceil(pw/bw) slices/reshapes with healthy layouts (jnp.stack-per-offset
+    # variants materialize singleton-minor slices that TPU lane-pads 128x;
+    # conv_general_dilated_patches lowers as a real PH*PW-tap conv).
+    nqy = -(-ph // bh)
+    nqx = -(-pw // bw)
+
+    @jax.custom_vjp
+    def extract_patches(xp):
+        row_groups = []
+        for qy in range(nqy):
+            sh_ = min(bh, ph - qy * bh)
+            sl = jax.lax.slice(xp, (0, qy * bh, 0, 0),
+                               (b, qy * bh + nby * bh, wp, cin))
+            sl = sl.reshape(b, nby, bh, wp, cin)[:, :, :sh_]
+            row_groups.append(sl)
+        rows = jnp.concatenate(row_groups, axis=2)  # (B, nby, PH, Wp, C)
+        col_groups = []
+        for qx in range(nqx):
+            sw_ = min(bw, pw - qx * bw)
+            sl = jax.lax.slice(rows, (0, 0, 0, qx * bw, 0),
+                               (b, nby, ph, qx * bw + nbx * bw, cin))
+            sl = sl.reshape(b, nby, ph, nbx, bw, cin)[:, :, :, :, :sw_]
+            col_groups.append(sl)
+        pats = jnp.concatenate(col_groups, axis=4)  # (B, nby, PH, nbx, PW, C)
+        return pats.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n_all, ph, pw, dg, cpg)
+
+    def _ep_fwd(xp):
+        return extract_patches(xp), None
+
+    def _ep_bwd(_, g):
+        g6 = g.reshape(b, nby, nbx, ph, pw, cin).transpose(0, 1, 3, 2, 4, 5)
+        # fold dx groups back into rows cotangent
+        d_rows = jnp.zeros((b, nby, ph, wp, cin), g.dtype)
+        for qx in range(nqx):
+            sw_ = min(bw, pw - qx * bw)
+            gslice = g6[:, :, :, :, qx * bw:qx * bw + sw_]  # (B,nby,PH,nbx,sw,C)
+            if sw_ < bw:
+                gslice = jnp.pad(gslice,
+                                 ((0, 0),) * 4 + ((0, bw - sw_), (0, 0)))
+            flat = gslice.reshape(b, nby, ph, nbx * bw, cin)
+            cur = jax.lax.slice(
+                d_rows, (0, 0, 0, qx * bw, 0),
+                (b, nby, ph, qx * bw + nbx * bw, cin))
+            d_rows = jax.lax.dynamic_update_slice(
+                d_rows, cur + flat, (0, 0, 0, qx * bw, 0))
+        # fold dy groups back into the padded-frame cotangent
+        dxp = jnp.zeros(x_pad.shape, g.dtype)
+        for qy in range(nqy):
+            sh_ = min(bh, ph - qy * bh)
+            gslice = d_rows[:, :, qy * bh:qy * bh + sh_]  # (B, nby, sh, Wp, C)
+            if sh_ < bh:
+                gslice = jnp.pad(gslice,
+                                 ((0, 0), (0, 0), (0, bh - sh_), (0, 0),
+                                  (0, 0)))
+            flat = gslice.reshape(b, nby * bh, wp, cin)
+            cur = jax.lax.slice(dxp, (0, qy * bh, 0, 0),
+                                (b, qy * bh + nby * bh, wp, cin))
+            dxp = jax.lax.dynamic_update_slice(dxp, cur + flat,
+                                               (0, qy * bh, 0, 0))
+        return (dxp,)
+
+    extract_patches.defvjp(_ep_fwd, _ep_bwd)
+    patches = extract_patches(x_pad)
 
     # offsets / mask on the block grid, minor dims kept flattened so TPU
     # lane padding stays ~2x instead of 14-64x (these tensors are saved for
