@@ -138,7 +138,11 @@ def make_train_step(model, opt: dict, **kwargs) -> Callable:
     name = opt["model"]
     if "Split" in name and "GAN" not in name:
         return make_split_train_step(model, opt)
-    if "Combine" in name:
+    if "Combine" in name or name == "VideoSR_AllPair":
+        # bare 'VideoSR_AllPair' (the Vimeo90K configs,
+        # options/train/train_*_Vimeo90K.yml:4) carries a single combined
+        # pixel_criterion; the reference's create_model predates those
+        # configs and rejects the name — we accept it as Combine
         return make_combine_train_step(model, opt, **kwargs)
     if "GAN" in name:
         from realvsr_tpu.train.gan import make_gan_split_train_step
