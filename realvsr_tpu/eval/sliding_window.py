@@ -16,13 +16,18 @@ from realvsr_tpu.utils.indexing import index_generation
 
 
 def make_forward(model, params, donate: bool = False) -> Callable:
-    """Jitted (T, H, W, C)-window → (H, W, C) forward with batch dim 1."""
+    """Jitted (T, H, W, C)-window → (H, W, C) forward with batch dim 1.
+
+    ``params`` may be a bare param tree or a full variables dict (with a
+    ``batch_stats`` collection for BN models — eval uses running stats).
+    """
+    variables = params if "params" in params else {"params": params}
 
     @jax.jit
-    def fwd(p, window):
-        return model.apply({"params": p}, window[None])[0]
+    def fwd(v, window):
+        return model.apply(v, window[None])[0]
 
-    return lambda window: fwd(params, window)
+    return lambda window: fwd(variables, window)
 
 
 def flipx4_forward(forward: Callable, window: jnp.ndarray) -> jnp.ndarray:

@@ -64,12 +64,14 @@ def make_tiled_forward(model, params, tile_hw=(256, 512), overlap: int = 32,
                        scale: int = 1) -> Callable:
     """Sliding-window-compatible forward that tiles internally."""
 
+    variables = params if "params" in params else {"params": params}
+
     @jax.jit
-    def tile_fwd(p, tile):
-        return model.apply({"params": p}, tile[None])[0]
+    def tile_fwd(v, tile):
+        return model.apply(v, tile[None])[0]
 
     def forward(window):
-        return tiled_forward(lambda tile: tile_fwd(params, tile), window,
+        return tiled_forward(lambda tile: tile_fwd(variables, tile), window,
                              tile_hw=tile_hw, overlap=overlap, scale=scale)
 
     return forward

@@ -242,17 +242,23 @@ def orthogonal_hwio(key, shape, dtype=jnp.float32):
 
 
 class BatchNorm2d(nn.Module):
-    """Batch normalization with learned affine, normalizing with *batch*
-    statistics (torch train-mode behavior).
+    """torch-semantics BatchNorm2d with running statistics.
 
-    Parity note: the reference uses torch BatchNorm2d whose eval mode uses
-    running averages; this implementation always uses the current batch's
-    statistics (well-behaved at eval over full frames).  Running-stat
-    collection can be added via flax mutable collections if bit-parity with
-    torch eval mode is needed.
+    Train mode normalizes with the current batch's (biased) statistics and
+    updates the ``batch_stats`` collection with torch's rule
+    ``running = (1 - momentum) * running + momentum * batch`` using the
+    *unbiased* variance (torch nn.BatchNorm2d default momentum=0.1); eval
+    mode (``train=False``) normalizes with the running averages — so
+    reference-trained SpyNet/discriminator weights reproduce eval behavior
+    (TOF_arch.py:18-27, discriminator_arch.py:13-40).
+
+    Running stats are written only when the ``batch_stats`` collection is
+    mutable (i.e. ``apply(..., mutable=["batch_stats"])``); plain applies
+    in train mode still normalize with batch statistics.
     """
 
     eps: float = 1e-5
+    momentum: float = 0.1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -260,10 +266,26 @@ class BatchNorm2d(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
-        var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.var(xf, axis=(0, 1, 2))
+            if not self.is_initializing() and \
+                    self.is_mutable_collection("batch_stats"):
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mean = mean.astype(x.dtype)[None, None, None, :]
+        inv = jax.lax.rsqrt(var + self.eps).astype(x.dtype)[None, None, None, :]
+        return (x - mean) * inv * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 class PReLU(nn.Module):

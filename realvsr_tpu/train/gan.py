@@ -44,6 +44,10 @@ class GANTrainState:
     apply_d: Callable = flax.struct.field(pytree_node=False)
     tx_g: optax.GradientTransformation = flax.struct.field(pytree_node=False)
     tx_d: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # BatchNorm running statistics (empty for BN-free G; discriminators
+    # built from SimpleBlock carry them — discriminator_arch.py:13-40)
+    batch_stats_g: Any = flax.core.FrozenDict()
+    batch_stats_d: Any = flax.core.FrozenDict()
 
 
 def _make_tx(train_opt: dict, which: str) -> optax.GradientTransformation:
@@ -62,13 +66,14 @@ def _make_tx(train_opt: dict, which: str) -> optax.GradientTransformation:
 def create_gan_train_state(model_g, model_d, opt: dict, sample_lq, rng,
                            sample_d_input=None) -> GANTrainState:
     k1, k2 = jax.random.split(rng)
-    params_g = model_g.init(k1, sample_lq)["params"]
+    vars_g = model_g.init(k1, sample_lq)
     if sample_d_input is None:
         b, t, h, w, c = sample_lq.shape
         y = jnp.zeros((b, h, w, 1), jnp.float32)
         pyr = laplacian_pyramid(y, max_levels=3)
         sample_d_input = pyr[:-1]
-    params_d = model_d.init(k2, sample_d_input)["params"]
+    vars_d = model_d.init(k2, sample_d_input)
+    params_g, params_d = vars_g["params"], vars_d["params"]
     tx_g = _make_tx(opt["train"], "G")
     tx_d = _make_tx(opt["train"], "D")
     return GANTrainState(
@@ -81,6 +86,8 @@ def create_gan_train_state(model_g, model_d, opt: dict, sample_lq, rng,
         apply_d=model_d.apply,
         tx_g=tx_g,
         tx_d=tx_d,
+        batch_stats_g=vars_g.get("batch_stats", flax.core.FrozenDict()),
+        batch_stats_d=vars_d.get("batch_stats", flax.core.FrozenDict()),
     )
 
 
@@ -125,9 +132,23 @@ def make_gan_split_train_step(model_g, opt: dict,
         g_active = jnp.logical_and(step_i % d_update_ratio == 0,
                                    step_i > d_init_iters)
 
+        def apply_d_ro(params_d, x):
+            """D forward reading (not updating) running stats."""
+            v = {"params": params_d}
+            if state.batch_stats_d:
+                v["batch_stats"] = state.batch_stats_d
+            return state.apply_d(v, x, train=True)
+
         # ------------------------- G step -------------------------
         def g_loss_fn(params_g):
-            fake = state.apply_g({"params": params_g}, lq, train=True)
+            if state.batch_stats_g:
+                fake, mut_g = state.apply_g(
+                    {"params": params_g, "batch_stats": state.batch_stats_g},
+                    lq, train=True, mutable=["batch_stats"])
+                new_bs_g = mut_g["batch_stats"]
+            else:
+                fake = state.apply_g({"params": params_g}, lq, train=True)
+                new_bs_g = state.batch_stats_g
             fake_y = fake[..., 0:1]
             fake_c = fake[..., 1:3]
             fake_y_pyr = laplacian_pyramid(fake_y, max_levels=3)
@@ -154,14 +175,12 @@ def make_gan_split_train_step(model_g, opt: dict,
                 total += l
             # adversarial term
             if gan_type == "gan":
-                pred_fake = state.apply_d({"params": state.params_d},
-                                          fake_y_pyr[:-1], train=True)
+                pred_fake = apply_d_ro(state.params_d, fake_y_pyr[:-1])
                 l_gan = sum(w_gan * cri_gan(p, True) for p in pred_fake)
             else:  # ragan
-                pred_real = [sg(p) for p in state.apply_d(
-                    {"params": state.params_d}, real_ref_y_pyr[:-1], train=True)]
-                pred_fake = state.apply_d({"params": state.params_d},
-                                          fake_y_pyr[:-1], train=True)
+                pred_real = [sg(p) for p in apply_d_ro(
+                    state.params_d, real_ref_y_pyr[:-1])]
+                pred_fake = apply_d_ro(state.params_d, fake_y_pyr[:-1])
                 l_gan = sum(
                     w_gan * (cri_gan(pr - jnp.mean(pf), False) +
                              cri_gan(pf - jnp.mean(pr), True)) / 2.0
@@ -169,9 +188,9 @@ def make_gan_split_train_step(model_g, opt: dict,
             logs["l_g_gan"] = l_gan
             total += l_gan
             logs["l_g_total"] = total
-            return total, (logs, fake_y_pyr)
+            return total, (logs, fake_y_pyr, new_bs_g)
 
-        (l_g, (g_logs, fake_y_pyr)), grads_g = jax.value_and_grad(
+        (l_g, (g_logs, fake_y_pyr, new_bs_g)), grads_g = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.params_g)
 
         def apply_g_update(args):
@@ -187,10 +206,22 @@ def make_gan_split_train_step(model_g, opt: dict,
         fake_y_pyr_sg = [sg(p) for p in fake_y_pyr[:-1]]
 
         def d_loss_fn(params_d):
-            pred_real = state.apply_d({"params": params_d},
-                                      real_ref_y_pyr[:-1], train=True)
-            pred_fake = state.apply_d({"params": params_d}, fake_y_pyr_sg,
-                                      train=True)
+            # sequential running-stat updates like torch's train-mode D:
+            # real forward first, fake forward sees the updated stats
+            if state.batch_stats_d:
+                pred_real, mut1 = state.apply_d(
+                    {"params": params_d, "batch_stats": state.batch_stats_d},
+                    real_ref_y_pyr[:-1], train=True, mutable=["batch_stats"])
+                pred_fake, mut2 = state.apply_d(
+                    {"params": params_d, "batch_stats": mut1["batch_stats"]},
+                    fake_y_pyr_sg, train=True, mutable=["batch_stats"])
+                new_bs_d = mut2["batch_stats"]
+            else:
+                pred_real = state.apply_d({"params": params_d},
+                                          real_ref_y_pyr[:-1], train=True)
+                pred_fake = state.apply_d({"params": params_d}, fake_y_pyr_sg,
+                                          train=True)
+                new_bs_d = state.batch_stats_d
             if gan_type == "gan":
                 l_real = sum(cri_gan(p, True) for p in pred_real)
                 l_fake = sum(cri_gan(p, False) for p in pred_fake)
@@ -201,10 +232,11 @@ def make_gan_split_train_step(model_g, opt: dict,
                 l_fake = sum(
                     cri_gan(pf - sg(jnp.mean(pr)), False) * 0.5
                     for pr, pf in zip(pred_real, pred_fake))
-            return l_real + l_fake, {"l_d_real": l_real, "l_d_fake": l_fake}
+            return l_real + l_fake, ({"l_d_real": l_real,
+                                      "l_d_fake": l_fake}, new_bs_d)
 
-        (l_d, d_logs), grads_d = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.params_d)
+        (l_d, (d_logs, new_bs_d)), grads_d = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.params_d)
         updates_d, opt_state_d = state.tx_d.update(grads_d, state.opt_state_d,
                                                    state.params_d)
         params_d = optax.apply_updates(state.params_d, updates_d)
@@ -212,7 +244,9 @@ def make_gan_split_train_step(model_g, opt: dict,
         logs = {**g_logs, **d_logs, "g_active": g_active.astype(jnp.float32)}
         new_state = state.replace(step=state.step + 1, params_g=params_g,
                                   params_d=params_d, opt_state_g=opt_state_g,
-                                  opt_state_d=opt_state_d)
+                                  opt_state_d=opt_state_d,
+                                  batch_stats_g=new_bs_g,
+                                  batch_stats_d=new_bs_d)
         return new_state, logs
 
     return train_step

@@ -21,7 +21,10 @@ from realvsr_tpu.schedules import build_lr_schedule
 
 
 class TrainState(train_state.TrainState):
-    pass
+    """Adds the mutable BatchNorm running-statistics collection (empty dict
+    for the BN-free architectures — EDVR/TDAN/FSTRN/RCAN)."""
+
+    batch_stats: Any = flax.core.FrozenDict()
 
 
 def _tsa_only_mask_wrapper(tx: optax.GradientTransformation,
@@ -75,6 +78,8 @@ def build_optimizer(train_opt: dict) -> optax.GradientTransformation:
 
 
 def create_train_state(model, opt: dict, sample_input, rng) -> TrainState:
-    params = model.init(rng, sample_input)["params"]
+    variables = model.init(rng, sample_input)
     tx = build_optimizer(opt["train"])
-    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats", flax.core.FrozenDict()))

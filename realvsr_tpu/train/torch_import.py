@@ -10,7 +10,15 @@ Mapping rules (flax path → torch key):
   * ``blockN`` (Blocks container) → ``N`` (torch nn.Sequential index),
   * leaf ``kernel`` → ``weight`` with OIHW→HWIO transpose,
   * 4-D ``weight`` leaves (DCN main kernels) transposed the same way,
+  * BatchNorm: leaf ``scale`` → ``weight``; running stats ``mean``/``var``
+    (batch_stats collection) → ``running_mean``/``running_var``
+    (torch buffers),
   * everything else keeps its name.
+
+``import_torch_state_dict`` accepts either a bare param tree or a full
+flax variables dict (``{'params': ..., 'batch_stats': ...}``) — the latter
+also fills BN running statistics so reference-trained SpyNet /
+discriminator weights reproduce eval behavior.
 """
 from __future__ import annotations
 
@@ -22,6 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_LEAF_MAP = {"kernel": "weight", "scale": "weight",
+             "mean": "running_mean", "var": "running_var"}
+
+
 def flax_path_to_torch_key(path: tuple[str, ...]) -> str:
     parts = []
     for p in path[:-1]:
@@ -30,9 +42,7 @@ def flax_path_to_torch_key(path: tuple[str, ...]) -> str:
         m = re.fullmatch(r"block(\d+)", p)
         parts.append(m.group(1) if m else p)
     leaf = path[-1]
-    if leaf == "kernel":
-        leaf = "weight"
-    parts.append(leaf)
+    parts.append(_LEAF_MAP.get(leaf, leaf))
     return ".".join(parts)
 
 
@@ -49,12 +59,15 @@ def import_torch_state_dict(params: Mapping[str, Any],
     """Fill a flax param tree with tensors from a torch state_dict.
 
     Args:
-      params: flax params pytree (the template, e.g. from model.init).
+      params: flax params pytree OR a full variables dict with
+        ``params`` / ``batch_stats`` collections (the template, e.g. from
+        model.init).
       state_dict: torch name → tensor mapping; ``module.`` prefixes from
         DataParallel wrapping are stripped (base_model.py:90-95).
       strict: raise if any template leaf has no matching torch tensor.
     Returns:
-      A new params pytree with imported values (float32).
+      A new pytree (same structure as ``params``) with imported values
+      (float32).
     """
     sd = {}
     for k, v in state_dict.items():
@@ -62,10 +75,13 @@ def import_torch_state_dict(params: Mapping[str, Any],
             k = k[len("module."):]
         sd[k] = v
 
+    is_variables = isinstance(params, Mapping) and "params" in params
     used = set()
 
     def fill(path, leaf):
         names = tuple(p.key for p in path)
+        if is_variables:
+            names = names[1:]  # drop the collection name
         tk = flax_path_to_torch_key(names)
         for pat, repl in (key_map or []):
             tk = re.sub(pat, repl, tk)

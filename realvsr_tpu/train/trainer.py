@@ -168,6 +168,20 @@ class Trainer:
     def gen_params(self):
         return self.state.params_g if self.is_gan else self.state.params
 
+    @property
+    def gen_batch_stats(self):
+        return (self.state.batch_stats_g if self.is_gan
+                else self.state.batch_stats)
+
+    @staticmethod
+    def _net_tree(params, batch_stats):
+        """Checkpoint/eval tree: variables dict when BN stats exist (the
+        reference stores BN buffers inside the same .pth state_dict),
+        bare params otherwise."""
+        if batch_stats:
+            return {"params": params, "batch_stats": batch_stats}
+        return params
+
     # ------------------------------------------------------------------
     def _opt_state_tree(self):
         if self.is_gan:
@@ -182,29 +196,39 @@ class Trainer:
             check_resume(opt, step_str)
             step, epoch, opt_state = ckpt.load_training_state(
                 resume_path, self._opt_state_tree())
-            params = ckpt.load_network(opt["path"]["pretrain_model_G"],
-                                       self.gen_params)
+            params, bs = self._load_net(opt["path"]["pretrain_model_G"],
+                                        self.gen_params, self.gen_batch_stats)
             if self.is_gan:
-                params_d = ckpt.load_network(opt["path"]["pretrain_model_D"],
-                                             self.state.params_d)
+                params_d, bs_d = self._load_net(
+                    opt["path"]["pretrain_model_D"], self.state.params_d,
+                    self.state.batch_stats_d)
                 self.state = self.state.replace(
                     params_g=params, params_d=params_d,
                     opt_state_g=opt_state["g"], opt_state_d=opt_state["d"],
-                    step=step)
+                    step=step, batch_stats_g=bs, batch_stats_d=bs_d)
             else:
                 self.state = self.state.replace(params=params,
-                                                opt_state=opt_state, step=step)
+                                                opt_state=opt_state, step=step,
+                                                batch_stats=bs)
             self.start_epoch, self.current_step = epoch, step
             logger.info(f"Resuming training from epoch {epoch}, iter {step}.")
         elif opt["path"].get("pretrain_model_G"):
-            params = ckpt.load_network(opt["path"]["pretrain_model_G"],
-                                       self.gen_params)
+            params, bs = self._load_net(opt["path"]["pretrain_model_G"],
+                                        self.gen_params, self.gen_batch_stats)
             if self.is_gan:
-                self.state = self.state.replace(params_g=params)
+                self.state = self.state.replace(params_g=params,
+                                                batch_stats_g=bs)
             else:
-                self.state = self.state.replace(params=params)
+                self.state = self.state.replace(params=params, batch_stats=bs)
             logger.info(
                 f"Loaded pretrained G from {opt['path']['pretrain_model_G']}")
+
+    def _load_net(self, path, params_template, bs_template):
+        tree = ckpt.load_network(
+            path, self._net_tree(params_template, bs_template))
+        if bs_template:
+            return tree["params"], tree["batch_stats"]
+        return tree, bs_template
 
     # ------------------------------------------------------------------
     def validate(self, step: int) -> float:
@@ -220,7 +244,8 @@ class Trainer:
             if i % n_proc != rank:
                 continue
             lqs = jnp.asarray(batch["LQs"], jnp.float32)
-            out = self.eval_step(self.gen_params, lqs)
+            out = self.eval_step(
+                self._net_tree(self.gen_params, self.gen_batch_stats), lqs)
             out_np = np.asarray(out[0], np.float32)
             gt = np.asarray(batch["GT"][0], np.float32)
             psnr = metric_ops.calculate_psnr_np(
@@ -250,11 +275,15 @@ class Trainer:
     def save_checkpoint(self, epoch: int, step: int | str):
         if not is_main_process():
             return
-        ckpt.save_network(self.opt["path"]["models"], "G", step,
-                          jax.device_get(self.gen_params))
+        ckpt.save_network(
+            self.opt["path"]["models"], "G", step,
+            jax.device_get(self._net_tree(self.gen_params,
+                                          self.gen_batch_stats)))
         if self.is_gan:
-            ckpt.save_network(self.opt["path"]["models"], "D", step,
-                              jax.device_get(self.state.params_d))
+            ckpt.save_network(
+                self.opt["path"]["models"], "D", step,
+                jax.device_get(self._net_tree(self.state.params_d,
+                                              self.state.batch_stats_d)))
         if isinstance(step, int):
             ckpt.save_training_state(self.opt["path"]["training_state"], step,
                                      epoch, self._opt_state_tree())

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import flax
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +35,20 @@ def _maybe_augment(opt: dict, rng, gt, lq):
                          aug["alphas"], aug["mix_p"])
 
 
+def _forward_train(state: TrainState, params, lq):
+    """Forward in train mode; returns (pred, new_batch_stats).
+
+    Models with BatchNorm (TOF/SpyNet) update their running statistics
+    through the mutable collection; BN-free models take the plain path.
+    """
+    if state.batch_stats:
+        pred, mut = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats}, lq,
+            train=True, mutable=["batch_stats"])
+        return pred, mut["batch_stats"]
+    return state.apply_fn({"params": params}, lq), state.batch_stats
+
+
 def make_split_train_step(model, opt: dict) -> Callable:
     """YCbCr Split: w_y * cri_y(pred_Y, gt_Y) + w_c * cri_c(pred_C, gt_C)."""
     train_opt = opt["train"]
@@ -48,14 +63,14 @@ def make_split_train_step(model, opt: dict) -> Callable:
         gt_c = gt[:, ctr]
 
         def loss_fn(params):
-            pred = state.apply_fn({"params": params}, lq)
+            pred, new_bs = _forward_train(state, params, lq)
             l_y = w_y * cri_y(pred[..., 0:1], gt_c[..., 0:1])
             l_c = w_c * cri_c(pred[..., 1:3], gt_c[..., 1:3])
-            return l_y + l_c, {"l_pix_y": l_y, "l_pix_c": l_c}
+            return l_y + l_c, ({"l_pix_y": l_y, "l_pix_c": l_c}, new_bs)
 
-        (l_pix, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
-        state = state.apply_gradients(grads=grads)
+        (l_pix, (logs, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_bs)
         logs["l_pix"] = l_pix
         return state, logs
 
@@ -99,7 +114,7 @@ def make_combine_train_step(model, opt: dict,
         gt_c = gt[:, ctr]
 
         def loss_fn(params):
-            pred = state.apply_fn({"params": params}, lq)
+            pred, new_bs = _forward_train(state, params, lq)
             l_pix = w_pix * cri_pix(pred, gt_c)
             logs = {"l_pix": l_pix}
             l_tot = l_pix
@@ -114,19 +129,27 @@ def make_combine_train_step(model, opt: dict,
                 logs["l_fea"] = l_fea
                 l_tot = l_tot + l_fea
             logs["l_tot"] = l_tot
-            return l_tot, logs
+            return l_tot, (logs, new_bs)
 
-        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads)
+        (_, (logs, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_bs)
         return state, logs
 
     return train_step
 
 
 def make_eval_step(model) -> Callable:
-    """Jittable forward for validation (wrapper .test())."""
+    """Jittable forward for validation (wrapper .test()).
+
+    ``params`` may be a bare param tree or a full variables dict with a
+    ``batch_stats`` collection (BN models eval with running stats).
+    """
 
     def eval_step(params, lq):
+        if isinstance(params, (dict, flax.core.FrozenDict)) and \
+                "params" in params:
+            return model.apply(params, lq)
         return model.apply({"params": params}, lq)
 
     return eval_step

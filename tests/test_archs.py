@@ -47,6 +47,7 @@ class TestMSRResNet:
                                    atol=2e-5)
 
 
+@pytest.mark.slow
 class TestTDAN:
     def test_param_count_and_shape(self):
         ref_dcn = import_ref_package("models.archs.dcn.deform_conv")
@@ -89,6 +90,7 @@ class TestTDAN:
                                    atol=5e-5)
 
 
+@pytest.mark.slow
 class TestTOF:
     def test_shapes_and_counts(self):
         ref_mod = import_ref_package("models.archs.TOF_arch")
@@ -96,10 +98,10 @@ class TestTOF:
                          upscale=1)
         m = TOF(nframes=3, K=2, in_nc=3, out_nc=3, nf=16, nb=2, upscale=1)
         x = jnp.zeros((1, 3, 16, 16, 3))
-        params = m.init(jax.random.PRNGKey(0), x)["params"]
+        variables = m.init(jax.random.PRNGKey(0), x)
         # BN running stats are torch buffers (not parameters) so counts match
-        assert params_count(params) == torch_count(tm)
-        out = m.apply({"params": params}, x)
+        assert params_count(variables["params"]) == torch_count(tm)
+        out = m.apply(variables, x)
         assert out.shape == (1, 16, 16, 3)
 
     def test_spynet_flow_shape(self):
@@ -107,12 +109,13 @@ class TestTOF:
 
         m = SpyNet(K=2)
         ref = jnp.zeros((2, 16, 16, 3))
-        params = m.init(jax.random.PRNGKey(0), ref, ref)["params"]
-        warped, flow = m.apply({"params": params}, ref, ref)
+        variables = m.init(jax.random.PRNGKey(0), ref, ref)
+        warped, flow = m.apply(variables, ref, ref)
         assert warped.shape == (2, 16, 16, 3)
         assert flow.shape == (2, 16, 16, 2)
 
 
+@pytest.mark.slow
 class TestFSTRN:
     def test_forward_parity(self):
         ref_mod = import_ref_package("models.archs.FSTRN_arch")
