@@ -74,6 +74,7 @@ class TestForward:
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
 
 
+@pytest.mark.slow
 class TestGrad:
     def test_grads_vs_finite_difference(self):
         x, off, m, wgt, b = make_inputs(b=1, h=5, w=5, cin=2, cout=2, dg=1, seed=7)
@@ -112,6 +113,7 @@ class TestGrad:
         assert out.shape == x.shape
 
 
+@pytest.mark.slow
 class TestTapLoopImpl:
     def test_tap_loop_matches_columns(self):
         x, off, m, wgt, b = make_inputs(b=2, h=10, w=9, cin=8, cout=6, dg=4,
@@ -175,6 +177,7 @@ class TestBlockImpl:
         assert out.shape == (1, 12, 12, 4)
 
 
+@pytest.mark.slow
 class TestPallasFusedKernel:
     def test_interpret_matches_xla_block(self):
         from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block

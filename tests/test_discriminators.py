@@ -14,6 +14,7 @@ def init_apply(model, *args, **kwargs):
     return model.apply(variables, *args, **kwargs)
 
 
+@pytest.mark.slow
 class TestSingle:
     def test_patch_discriminator_shapes(self):
         x = jnp.zeros((2, 32, 32, 3))
@@ -36,6 +37,7 @@ class TestSingle:
         assert out.shape == (2, 1)
 
 
+@pytest.mark.slow
 class TestMultiscale:
     def test_v1_v2_single_input(self):
         x = jnp.zeros((1, 32, 32, 3))
@@ -78,6 +80,7 @@ class TestMultiscale:
         assert len(outs) == 2
 
 
+@pytest.mark.slow
 class TestVGGFeature:
     def test_feature_shape(self):
         # feature_layer 34 = conv5_4 output (pre-ReLU): 512 ch at /16

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # torch-oracle / large-compile
 import torch
 
 from reference_loader import load_ref_module, _ensure_stubs

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # torch-oracle / large-compile
+
 from realvsr_tpu.eval.sliding_window import (flipx4_forward, make_forward,
                                              sliding_window_infer)
 from realvsr_tpu.models.edvr import EDVRNoUp

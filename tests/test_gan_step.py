@@ -1,4 +1,7 @@
 """GAN-Split training step: end-to-end smoke on the 8-device mesh."""
+import pytest
+
+pytestmark = pytest.mark.slow  # torch-oracle / large-compile
 import jax
 import jax.numpy as jnp
 import numpy as np

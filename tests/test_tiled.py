@@ -1,4 +1,7 @@
 """Tiled inference equals full-frame inference away from tile seams."""
+import pytest
+
+pytestmark = pytest.mark.slow  # torch-oracle / large-compile
 import jax
 import jax.numpy as jnp
 import numpy as np

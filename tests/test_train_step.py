@@ -45,6 +45,7 @@ def tiny_batch(b=8, t=3, hw=48):
     }
 
 
+@pytest.mark.slow
 class TestSplitTrainStep:
     def test_loss_decreases_and_runs_sharded(self):
         # no augmentation: fixed batch → loss must decrease deterministically
@@ -147,6 +148,7 @@ class TestCheckpoint:
             assert step == 100 and epoch == 3
 
 
+@pytest.mark.slow
 class TestFtTsaOnly:
     def test_non_tsa_params_frozen_before_threshold(self):
         """ft_tsa_only freezes non-tsa_fusion params for the first N steps
