@@ -47,8 +47,8 @@ def parse(opt_path: str, is_train: bool = True, root: str | None = None) -> None
     """Load and normalize a YAML experiment config (options/options.py:9-68).
 
     Differences from the reference: no CUDA_VISIBLE_DEVICES export (device
-    selection is JAX-native); lmdb autodetection retained for schema parity
-    but lmdb-backed roots fall back to the image reader when lmdb is absent.
+    selection is JAX-native); lmdb-backed roots are served by the built-in
+    pure-Python reader (realvsr_tpu/data/lmdb_lite.py), no liblmdb needed.
     """
     with open(opt_path, "r") as f:
         opt = yaml.safe_load(f)

@@ -36,6 +36,22 @@ def read_img(path: str) -> np.ndarray:
     return img
 
 
+def read_img_lmdb(env, key: str, size) -> np.ndarray:
+    """Read one raw uint8 frame buffer from an lmdb_lite environment as
+    BGR float32 [0, 1] HWC (data/util.py:76-101: buffers are stored as
+    flat C*H*W uint8 with dims from dataset meta)."""
+    with env.begin() as txn:
+        buf = txn.get(key.encode("ascii"))
+    if buf is None:
+        raise KeyError(f"key {key!r} not in lmdb")
+    c, h, w = size
+    img = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
+    img = img.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = img[:, :, None]
+    return img
+
+
 def channel_convert(in_c: int, tar_type, img_list):
     """BGR/gray/y conversion (data/util.py:312-323); unknown types pass
     through unchanged (the reference behavior relied on for 'ycbcr'

@@ -16,7 +16,7 @@ import pickle
 
 import numpy as np
 
-from realvsr_tpu.data.imageio import channel_convert, read_img
+from realvsr_tpu.data.imageio import channel_convert, read_img, read_img_lmdb
 
 # hardcoded test split of RealVSRDataset (RealVSR_dataset.py:51-58)
 TEST_SEQUENCES = [
@@ -64,6 +64,13 @@ class RealVSRDataset:
         self.color = opt.get("color")
         self.is_train = opt.get("phase") == "train"
         self.max_frame = int(opt.get("max_frame_idx") or 49)
+        # lmdb backend (RealVSR_dataset.py:60-74): roots ending in 'lmdb'
+        # hold raw uint8 buffers keyed SSS_FFFFF; lazily opened
+        self.data_type = opt.get("data_type") or (
+            "lmdb" if str(self.gt_root).endswith("lmdb") else "img")
+        self.gt_env = self.lq_env = None
+        # fixed RealVSR clip geometry (C,H,W) — RealVSR_dataset.py:121,130
+        self.img_shape = tuple(opt.get("img_shape") or (3, 1024, 512))
 
         if opt.get("cache_keys"):
             with open(opt["cache_keys"], "rb") as f:
@@ -106,8 +113,20 @@ class RealVSRDataset:
             neighbors.reverse()
         return neighbors
 
+    def _init_lmdb(self):
+        from realvsr_tpu.data import lmdb_lite
+
+        self.gt_env = lmdb_lite.open(self.gt_root, readonly=True)
+        self.lq_env = lmdb_lite.open(self.lq_root, readonly=True)
+
     def _read(self, root: str, seq: str, frame: int) -> np.ndarray:
-        img = read_img(osp.join(root, seq, f"{frame:05d}.png"))
+        if self.data_type == "lmdb":
+            if self.gt_env is None:
+                self._init_lmdb()
+            env = self.gt_env if root == self.gt_root else self.lq_env
+            img = read_img_lmdb(env, f"{seq}_{frame:05d}", self.img_shape)
+        else:
+            img = read_img(osp.join(root, seq, f"{frame:05d}.png"))
         if self.color:
             img = channel_convert(img.shape[2], self.color, [img])[0]
         return img

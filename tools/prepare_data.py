@@ -8,6 +8,10 @@ RGB→YCbCr conversion of RealVSR / Vimeo90K trees, key-pickle generation.
     python tools/prepare_data.py vimeo90k-lr    <src_root> <dst_root> --scale 2
         (MATLAB-bicubic down-up LR generation, replacing
          generate_LR_BI_Vimeo90K.m)
+    python tools/prepare_data.py create-lmdb    <png_root> <dst.lmdb> \
+        [--sharpen-gt] — pack a seq/frame PNG tree into an LMDB of raw
+        uint8 buffers keyed SSS_FFFFF (RealVSR_dataset.py's primary
+        training I/O path), optionally with GT UnsharpMask sharpening
 """
 import argparse
 import glob
@@ -71,13 +75,44 @@ def vimeo90k_lr(src_root, dst_root, scale=2):
         cv2.imwrite(dst, out)
 
 
+def create_lmdb(png_root, dst_path, sharpen=False, seed=0):
+    """Pack <png_root>/<seq>/<frame>.png into an LMDB of raw uint8 HWC
+    buffers keyed ``SSS_FFFFF`` (the reference's lmdb layout,
+    data/util.py:76-84).  ``sharpen`` applies the GT UnsharpMask pipeline
+    (data/util.py:435-480) with a per-key deterministic rng."""
+    from realvsr_tpu.data.lmdb_lite import write_lmdb
+    from realvsr_tpu.data.sharpen import sharpen_gt
+
+    def items():
+        for seq_path in sorted(glob.glob(osp.join(png_root, "*"))):
+            seq = osp.basename(seq_path)
+            if not osp.isdir(seq_path):
+                continue
+            print(f"Packing {seq}")
+            for p in sorted(glob.glob(osp.join(seq_path, "*.png"))):
+                frame = int(osp.splitext(osp.basename(p))[0])
+                key = f"{seq}_{frame:05d}"
+                img = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+                if sharpen:
+                    rng = np.random.default_rng(
+                        (hash(key) ^ seed) & 0x7FFFFFFF)
+                    img = sharpen_gt(img, rng)
+                yield key.encode("ascii"), np.ascontiguousarray(img).tobytes()
+
+    write_lmdb(dst_path, items())
+    print(f"wrote {dst_path}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("cmd", choices=["realvsr-ycbcr", "vimeo90k-ycbcr",
-                                        "realvsr-keys", "vimeo90k-lr"])
+                                        "realvsr-keys", "vimeo90k-lr",
+                                        "create-lmdb"])
     parser.add_argument("paths", nargs="+")
     parser.add_argument("--only-y", action="store_true")
     parser.add_argument("--scale", type=int, default=2)
+    parser.add_argument("--sharpen-gt", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
     if args.cmd == "realvsr-ycbcr":
         realvsr_ycbcr(args.paths[0], args.paths[1], args.only_y)
@@ -87,6 +122,8 @@ def main():
         realvsr_keys(args.paths[0])
     elif args.cmd == "vimeo90k-lr":
         vimeo90k_lr(args.paths[0], args.paths[1], args.scale)
+    elif args.cmd == "create-lmdb":
+        create_lmdb(args.paths[0], args.paths[1], args.sharpen_gt, args.seed)
 
 
 if __name__ == "__main__":
