@@ -153,6 +153,55 @@ def fit_niqe_model(gt_root: str, block_size: int = 96,
     return {"mu": mu, "cov": cov, "block_size": np.asarray(block_size)}
 
 
+def load_matlab_niqe_model(path: str) -> dict:
+    """Load a MATLAB-fitted niqeModel from a .mat file (e.g. the
+    reference's ``metrics/models/niqe_model_realvsr_all.mat``).
+
+    MATLAB saves fitniqe results as an opaque MCOS object that scipy can't
+    decode; its numeric payload however lives in the embedded
+    ``__function_workspace__`` MAT5 stream.  We scan that stream for the
+    miDOUBLE elements with the known niqeModel shapes: mean (36,),
+    covariance (36, 36), block size (2,), sharpness threshold (1,).
+    Verified against the reference model: mu[0] ≈ 2.55 (typical MSCN
+    alpha), 96x96 blocks, threshold 0.
+    """
+    import struct
+
+    import scipy.io as sio
+
+    m = sio.loadmat(path)
+    fw = m.get("__function_workspace__")
+    if fw is None:
+        raise ValueError(f"{path}: no MCOS function workspace found")
+    data = fw.tobytes()
+    mu = cov = block = thr = None
+    for off in range(0, len(data) - 8, 4):
+        t, nb = struct.unpack_from("<ii", data, off)
+        if t != 9:  # miDOUBLE
+            continue
+        cnt = nb // 8
+        if cnt not in (36, 36 * 36, 2, 1):
+            continue
+        arr = np.frombuffer(data, np.float64, count=cnt, offset=off + 8)
+        if not np.all(np.isfinite(arr)):
+            continue
+        if cnt == 36 and mu is None:
+            mu = arr.copy()
+        elif cnt == 36 * 36 and cov is None:
+            cov = arr.copy().reshape(36, 36)
+        elif cnt == 2 and block is None and np.all(arr > 0) and \
+                np.all(arr == np.round(arr)):
+            block = arr.copy()
+        elif cnt == 1 and thr is None and 0 <= arr[0] <= 1:
+            thr = float(arr[0])
+    if mu is None or cov is None:
+        raise ValueError(f"{path}: could not locate niqeModel arrays")
+    return {"mu": mu, "cov": cov,
+            "block_size": np.asarray(int(block[0]) if block is not None
+                                     else 96),
+            "sharpness_threshold": np.asarray(0.0 if thr is None else thr)}
+
+
 def niqe_score(img: np.ndarray, model: dict, block_size: int | None = None) -> float:
     """NIQE score of a grayscale [0,255] image against a fitted model
     (lower is better)."""
