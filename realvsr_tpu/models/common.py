@@ -186,6 +186,9 @@ class DCNPack(nn.Module):
         o1, o2, mask = jnp.split(out, 3, axis=-1)
         offset = jnp.concatenate([o1, o2], axis=-1)
         mask = jax.nn.sigmoid(mask)
+        # observability for the ±R block-path clamp validation: collect with
+        # apply(..., capture_intermediates) / mutable=["intermediates"]
+        self.sow("intermediates", "dcn_offset", offset)
 
         cin = x.shape[-1]
         weight = self.param(
