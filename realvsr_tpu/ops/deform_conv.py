@@ -276,7 +276,7 @@ def modulated_deform_conv(x: jax.Array, offset: jax.Array, mask: jax.Array,
     kh, kw, cin_g, cout = weight.shape
     if impl is None:
         impl = _DEFAULT_IMPL
-    if impl == "block" and not (
+    if impl in ("block", "frame") and not (
             (kh, kw) == (3, 3) and _pair(stride) == (1, 1)
             and _pair(padding) == (1, 1) and _pair(dilation) == (1, 1)
             and groups == 1):
@@ -285,14 +285,17 @@ def modulated_deform_conv(x: jax.Array, offset: jax.Array, mask: jax.Array,
         n_pos = x.shape[0] * x.shape[1] * x.shape[2]
         impl = ("tap_loop" if (n_pos > _TAP_LOOP_THRESHOLD and groups == 1)
                 else "columns")
-    if impl == "block":
+    if impl in ("block", "frame"):
         from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
 
         return modulated_deform_conv_block(
             x, offset, mask, weight, bias, padding=_pair(padding)[0],
             deformable_groups=deformable_groups,
             max_offset=_BLOCK_MAX_OFFSET, chunk_blocks=_BLOCK_CHUNK,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype,
+            # 'frame' = fused Pallas kernel with in-kernel frame DMA
+            # (forward-only; see ops/pallas/dcn_frame_kernel.py)
+            use_pallas="frame" if impl == "frame" else False)
     if impl == "tap_loop":
         return _modulated_deform_conv_tap_loop(
             x, offset, mask, weight, bias, stride, padding, dilation, groups,

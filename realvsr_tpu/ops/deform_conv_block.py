@@ -51,6 +51,8 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     b, h, w, cin = x.shape
     kh, kw, cin_g, cout = weight.shape
     assert (kh, kw) == (3, 3) and padding == 1, "block path: 3x3/s1/p1 only"
+    if use_pallas == "frame" and block == (8, 16):
+        block = (8, 32)  # wider blocks keep the panel duplication at 4x
     k = kh * kw
     dg = deformable_groups
     cpg = cin // dg
@@ -184,55 +186,70 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     # weight per tap/group: (k, dg, cpg, cout) → used in the final einsum
     wt = weight.astype(dt).reshape(k, dg, cpg, cout)
 
+    if use_pallas == "frame":
+        # v7: kernel DMAs halo'd slabs from 128-wide column panels — no
+        # patch materialization, no (P, c)-major relayout in XLA (see
+        # ops/pallas/dcn_frame_kernel.py)
+        from realvsr_tpu.ops.pallas.dcn_frame_kernel import dcn_frame_fused
+
+        qn = bh * bw * k
+        phr = -(-ph * cpg // 16) * 16 // cpg  # slab rows, 16-aligned * cpg
+        # padded frame with the halo origin and enough rows for phr slabs
+        xg = jnp.pad(
+            x.astype(dt),
+            ((0, 0), (r + 1, r + 2 + h_pad + (phr - ph)),
+             (r + 1, r + 2 + w_pad), (0, 0)))
+        hp2, wp2 = xg.shape[1], xg.shape[2]
+        # (B, dg, Hp*cpg, Wp) rows (H, c)-major per group
+        xr = xg.reshape(b, hp2, wp2, dg, cpg).transpose(
+            0, 3, 1, 4, 2).reshape(b, dg, hp2 * cpg, wp2)
+        # overlapping column panels: stride bw, width 128 (lane-aligned DMA)
+        if wp2 < (nbx - 1) * bw + 128:
+            xr = jnp.pad(xr, ((0, 0),) * 3 +
+                         ((0, (nbx - 1) * bw + 128 - wp2),))
+        xp = jnp.stack(
+            [jax.lax.slice_in_dim(xr, bx * bw, bx * bw + 128, axis=3)
+             for bx in range(nbx)], axis=2)  # (B, dg, nbx, Hp*cpg, 128)
+
+        ly_c, lx_c = _coords(off)
+        to_q = lambda a: a.transpose(0, 3, 4, 1, 2).reshape(n_all, dg, qn)
+        m_full = (jnp.ones((n_all, bh, bw, dg, k), jnp.float32)
+                  if msk is None else
+                  msk.reshape(n_all, bh, bw, dg, k).astype(jnp.float32))
+        coords = jnp.stack([to_q(ly_c), to_q(lx_c), to_q(m_full)], axis=2)
+        wt_g = weight.astype(dt).reshape(k, dg, cpg, cout).transpose(
+            1, 0, 2, 3).reshape(dg * k * cpg, cout)
+        out = dcn_frame_fused(xp, coords, wt_g, cpg=cpg, bh=bh, bw=bw,
+                              ph=ph, pw=pw, nby=nby, nbx=nbx, k=k,
+                              interpret=pallas_interpret)
+        out = out.reshape(b, nby, nbx, bh, bw, cout).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, nby * bh, nbx * bw, cout)[:, :h, :w]
+        if bias is not None:
+            out = out + bias.astype(dt)
+        return out
+
     if use_pallas:
         from realvsr_tpu.ops.pallas.dcn_block_kernel import dcn_block_fused
 
-        msk_in = msk if msk is not None else jnp.ones(
-            (n_all, bh, bw, dg * k), dt)
         qn = bh * bw * k
-        # per-group tap weights repeated over PW: (dg, k, cpg*PW, cout)
-        wt_big = jnp.repeat(
-            weight.astype(dt).reshape(k, dg, cpg, cout).transpose(1, 0, 2, 3),
-            pw, axis=2)
-        # patch feature axis ordered (channel, column): (n, dg, PH, cpg*PW)
+        # patch rows (P, c)-major with PW minor: (n, dg, PH*cpg, PW)
         pg_m = patches.transpose(0, 3, 1, 4, 2).reshape(
-            n_all, dg, ph, cpg * pw)
-        ch = chunk_blocks
-        n_pad2 = (-n_all) % ch
-        off_p, mk_p, pg_p = off, msk_in, pg_m
-        if n_pad2:
-            padn = lambda a: jnp.pad(a, ((0, n_pad2),) + ((0, 0),) * (a.ndim - 1))
-            off_p, mk_p, pg_p = padn(off), padn(msk_in), padn(pg_m)
-        io_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ph), 3)
-        io_q = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, pw), 3)
-
-        def process_pallas(ci):
-            s0 = ci * ch
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s0, ch, 0)
-            ly_c, lx_c = _coords(sl(off_p))
-            # q ordered (tap, pixel): (ch, bh, bw, dg, k) → (ch, dg, k, bh*bw)
-            to_q = lambda a: a.transpose(0, 3, 4, 1, 2).reshape(
-                ch, dg, qn)[..., None]
-            ly_q = to_q(ly_c)
-            lx_q = to_q(lx_c)
-            m_q = to_q(sl(mk_p).reshape(ch, bh, bw, dg, k).astype(jnp.float32))
-            y0q = jnp.floor(ly_q)
-            tyq = (ly_q - y0q).astype(dt)
-            x0q = jnp.floor(lx_q)
-            txq = (lx_q - x0q).astype(dt)
-            y0i = y0q.astype(jnp.int32)
-            x0i = x0q.astype(jnp.int32)
-            wy_q = ((io_p == y0i).astype(dt) * (1 - tyq)
-                    + (io_p == y0i + 1).astype(dt) * tyq)
-            wx_q = (((io_q == x0i).astype(dt) * (1 - txq)
-                     + (io_q == x0i + 1).astype(dt) * txq)
-                    * m_q.astype(dt))
-            return dcn_block_fused(sl(pg_p), wy_q, wx_q, wt_big, cpg=cpg,
-                                   interpret=pallas_interpret)
-
-        out = jax.lax.map(process_pallas,
-                          jnp.arange((n_all + n_pad2) // ch))
-        out = out.reshape(n_all + n_pad2, bh * bw, cout)[:n_all]
+            n_all, dg, ph * cpg, pw)
+        # coordinate tensor (n, dg, 3, q) f32: ly, lx, mask — q tap-major;
+        # the Wy/Wx matrices are built in-kernel from these (building them
+        # here costs ~14 GB of HBM traffic per full-res call)
+        ly_c, lx_c = _coords(off)       # (n, bh, bw, dg, k)
+        to_q = lambda a: a.transpose(0, 3, 4, 1, 2).reshape(n_all, dg, qn)
+        m_full = (jnp.ones((n_all, bh, bw, dg, k), jnp.float32)
+                  if msk is None else
+                  msk.reshape(n_all, bh, bw, dg, k).astype(jnp.float32))
+        coords = jnp.stack(
+            [to_q(ly_c), to_q(lx_c), to_q(m_full)], axis=2)
+        # tap-GEMM weights, rows (g, tap, c): (dg*k*cpg, cout)
+        wt_g = weight.astype(dt).reshape(k, dg, cpg, cout).transpose(
+            1, 0, 2, 3).reshape(dg * k * cpg, cout)
+        out = dcn_block_fused(pg_m, coords, wt_g, cpg=cpg, k=k,
+                              interpret=pallas_interpret)
         out = out.reshape(b, nby, nbx, bh, bw, cout).transpose(
             0, 1, 3, 2, 4, 5).reshape(b, nby * bh, nbx * bw, cout)[:, :h, :w]
         if bias is not None:

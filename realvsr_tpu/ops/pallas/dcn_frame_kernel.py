@@ -1,0 +1,146 @@
+"""Fused DCN kernel v7: reads halo'd blocks from 128-wide column panels.
+
+Same compute structure as dcn_block_kernel (v6, horizontal-first), but the
+halo'd patches are DMA'd inside the kernel with double buffering from a
+panel tensor — eliminating the XLA-side patch materialization and its
+(P, c)-major relayout (~half of the v6 call time at full res).
+
+TPU DMA lane slices must be 128-aligned in offset and shape, so the frame
+is pre-tiled in XLA into overlapping column panels of width exactly 128
+(stride bw): xp (B, dg, nbx, Hp*cpg, 128), rows (H, c)-major per group.
+Per block the kernel DMAs a (dg, PHR*cpg, 128) slab — dim-3 slices at
+y0*cpg are 16-aligned because bh*cpg is — and the horizontal hat weights
+are built only over the first PW_PAD sublanes of a persistent (128, q)
+buffer whose tail rows are zeroed once (clamped lx never reaches them, and
+zero rows make the K=128 matmul exact).  K = 128 costs the same MXU time
+as any pw <= 128 (passes are 128 deep), so the panel scheme loses nothing.
+
+Inputs:
+  xp:     (B, dg, nbx, Hp*cpg, 128) panels, HBM-resident (pl.ANY).
+  coords: (n_all, dg, 3, q) f32 — (ly, lx, mask), q tap-major; lx is local
+          to the block's halo window, which starts exactly at its panel.
+  wt:     (dg*k*cpg, cout) tap-GEMM weights, rows (g, tap, c).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _kernel(coords_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref, s_ref,
+            sem_ref, *, p, k, dg, cpg, ph, pw, bh, nby, nbx):
+    dt = out_ref.dtype
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    phr = slab_ref.shape[2] // cpg
+    pw_built = _round_up(pw, 16)
+
+    def slab_dma(slot, blk):
+        b = blk // (nby * nbx)
+        r = blk % (nby * nbx)
+        by = r // nbx
+        bx = r % nbx
+        return pltpu.make_async_copy(
+            xp_ref.at[b, :, bx, pl.ds(by * bh * cpg, phr * cpg), :],
+            slab_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        # zero the hat-weight tail rows once; groups only write [0, built)
+        wx_ref[:, :] = jnp.zeros_like(wx_ref)
+        slab_dma(0, i).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        slab_dma((i + 1) % 2, i + 1).start()
+
+    slab_dma(i % 2, i).wait()
+    slot = i % 2
+
+    io_p = jax.lax.broadcasted_iota(jnp.int32, (phr, 1), 0)
+    io_q = jax.lax.broadcasted_iota(jnp.int32, (pw_built, 1), 0)
+    for g in range(dg):
+        c = coords_ref[0, g]
+        ly = c[0:1, :]
+        lx = c[1:2, :]
+        mask = c[2:3, :]
+        y0f = jnp.floor(ly)
+        ty = (ly - y0f).astype(dt)
+        y0i = y0f.astype(jnp.int32)
+        x0f = jnp.floor(lx)
+        tx = (lx - x0f).astype(dt)
+        x0i = x0f.astype(jnp.int32)
+        wy_t = ((io_p == y0i).astype(dt) * (1 - ty)
+                + (io_p == y0i + 1).astype(dt) * ty)
+        wx_ref[0:pw_built, :] = (((io_q == x0i).astype(dt) * (1 - tx)
+                                  + (io_q == x0i + 1).astype(dt) * tx)
+                                 * mask.astype(dt))
+        pg = slab_ref[slot, g].reshape(phr * cpg, 128)
+        h = jnp.dot(pg, wx_ref[:, :],
+                    preferred_element_type=jnp.float32).astype(dt)
+        s = h[0:cpg, :] * wy_t[0:1, :]
+        for pp in range(1, phr):
+            s = s + h[pp * cpg:(pp + 1) * cpg, :] * wy_t[pp:pp + 1, :]
+        for kk in range(k):
+            row = (g * k + kk) * cpg
+            s_ref[row:row + cpg, :] = s[:, kk * p:(kk + 1) * p]
+    out_ref[0] = jax.lax.dot_general(
+        s_ref[:, :], wt_ref[:, :], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt)
+
+
+def dcn_frame_fused(xp: jax.Array, coords: jax.Array, wt: jax.Array, *,
+                    cpg: int, bh: int, bw: int, ph: int, pw: int,
+                    nby: int, nbx: int, k: int = 9,
+                    interpret: bool = False) -> jax.Array:
+    b_, dg, nbx_, hpc, lanes = xp.shape
+    assert nbx_ == nbx and lanes == 128 and pw <= 128
+    cout = wt.shape[-1]
+    n_all, _, _, q = coords.shape
+    p = q // k
+    assert p == bh * bw and n_all == b_ * nby * nbx
+    assert (bh * cpg) % 16 == 0, "row-slice alignment needs bh*cpg % 16 == 0"
+    # slab row-count padded so phr*cpg is a 16-multiple (sublane tiling);
+    # the extra hat row gets zero weight (clamped ly never reaches it)
+    phr = _round_up(ph * cpg, 16) // cpg
+    dt = xp.dtype
+
+    kern = functools.partial(_kernel, p=p, k=k, dg=dg, cpg=cpg, ph=ph,
+                             pw=pw, bh=bh, nby=nby, nbx=nbx)
+    flops = 2 * n_all * dg * (q * 128 * phr * cpg) + 2 * n_all * p * wt.size
+    out = pl.pallas_call(
+        kern,
+        grid=(n_all,),
+        in_specs=[
+            pl.BlockSpec((1, dg, 3, q), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((dg * k * cpg, cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p, cout), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_all, p, cout), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, dg, phr * cpg, 128), dt),
+            pltpu.VMEM((128, q), dt),
+            pltpu.VMEM((dg * k * cpg, p), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n_all * (dg * phr * cpg * 128 + 3 * q * 4) * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(coords, xp, wt)
+    return out

@@ -196,3 +196,25 @@ class TestPallasFusedKernel:
                                           max_offset=r, use_pallas=True,
                                           pallas_interpret=True)
         np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=5e-6)
+
+    def test_frame_dma_kernel_matches_xla_block(self):
+        """v7: in-kernel double-buffered DMA from the frame tensor."""
+        from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
+
+        rng = np.random.default_rng(32)
+        b, h, w, cin, dgq, r = 2, 24, 40, 16, 4, 3
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+        off = jnp.asarray(
+            np.clip(rng.normal(size=(b, h, w, dgq * 9 * 2)) * 2, -r + .2, r - .2),
+            jnp.float32)
+        m = jnp.asarray(rng.uniform(size=(b, h, w, dgq * 9)), jnp.float32)
+        wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 8)) * 0.2, jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+        ref = modulated_deform_conv_block(x, off, m, wgt, bias, 1, dgq,
+                                          max_offset=r)
+        pal = modulated_deform_conv_block(x, off, m, wgt, bias, 1, dgq,
+                                          max_offset=r, use_pallas="frame",
+                                          pallas_interpret=True)
+        # frame path uses 8x32 blocks vs the reference's 8x16 — contraction
+        # widths differ, so f32 sum association differs at the ~2e-6 level
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
