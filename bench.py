@@ -75,9 +75,9 @@ def main():
     from realvsr_tpu.models.edvr import EDVRNoUp
     from realvsr_tpu.ops.deform_conv import set_default_impl
 
-    # fast DCN path for inference: shift-window MXU formulation with
-    # offsets clamped to ±8 px (see ops/deform_conv_block.py, PERF_NOTES.md)
-    set_default_impl("block", block_max_offset=8, block_chunk=128)
+    # fast DCN path for inference: fused Pallas frame-DMA kernel with
+    # offsets clamped to ±8 px (ops/pallas/dcn_frame_kernel.py, PERF_NOTES.md)
+    set_default_impl("frame", block_max_offset=8, block_chunk=128)
 
     model = EDVRNoUp(nf=64, nc=3, nframes=NFRAMES, groups=8, front_RBs=5,
                      back_RBs=10, predeblur=False, HR_in=False, w_TSA=False,
