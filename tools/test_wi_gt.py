@@ -18,7 +18,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True)
     parser.add_argument("--dcn_impl", type=str, default=None,
-                        choices=["columns", "tap_loop", "block"],
+                        choices=["columns", "tap_loop", "block", "frame"],
                         help="DCN implementation override (block = fast, "
                              "offsets clamped to ±8 px)")
     parser.add_argument("--platform", type=str, default=None)
