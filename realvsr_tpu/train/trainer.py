@@ -101,9 +101,13 @@ class Trainer:
                 logger.info(f"Number of val images: {len(val_set)}")
         assert self.train_loader is not None
 
-        # model + state
+        # model + state; train.mixed_precision: bf16 activations with f32
+        # params — halves the remat'd activation buffers that bound
+        # training memory at 192^2 crops (PERF_NOTES.md)
         self.is_gan = "GAN" in (opt["model"] or "")
-        self.model = define_g(opt)
+        g_dtype = (jnp.bfloat16 if opt["train"].get("mixed_precision")
+                   else jnp.float32)
+        self.model = define_g(opt, dtype=g_dtype)
         ds_train = opt["datasets"]["train"]
         nf = ds_train["N_frames"]
         size = ds_train.get("GT_size") or 64
