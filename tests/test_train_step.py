@@ -183,3 +183,23 @@ class TestFtTsaOnly:
         _, other3 = split_leaves(state.params)
         # past the threshold: non-TSA params move too
         assert any(np.abs(a - b).max() > 0 for a, b in zip(other1, other3))
+
+
+class TestMixedPrecision:
+    def test_bf16_model_train_step_finite(self):
+        """train.mixed_precision: bf16 activations, f32 params."""
+        from realvsr_tpu.models.edvr import EDVRNoUp as E
+
+        model = E(nf=16, nc=3, nframes=3, groups=4, front_RBs=1, back_RBs=1,
+                  w_TSA=False, dtype=jnp.bfloat16)
+        batch = tiny_batch(b=2, hw=32)
+        state = create_train_state(model, OPT, batch["LQs"][:1],
+                                   jax.random.PRNGKey(0))
+        # params stay full-precision even with bf16 compute (f64 here
+        # because the test conftest enables x64)
+        assert all(p.dtype != jnp.bfloat16
+                   for p in jax.tree_util.tree_leaves(state.params))
+        step = jax.jit(make_split_train_step(model, OPT))
+        state, logs = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(logs["l_pix"]))
+        assert int(state.step) == 1
