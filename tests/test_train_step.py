@@ -192,7 +192,7 @@ class TestMixedPrecision:
 
         model = E(nf=16, nc=3, nframes=3, groups=4, front_RBs=1, back_RBs=1,
                   w_TSA=False, dtype=jnp.bfloat16)
-        batch = tiny_batch(b=2, hw=32)
+        batch = tiny_batch(b=2, hw=48)
         state = create_train_state(model, OPT, batch["LQs"][:1],
                                    jax.random.PRNGKey(0))
         # params stay full-precision even with bf16 compute (f64 here
