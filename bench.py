@@ -76,8 +76,11 @@ def main():
     from realvsr_tpu.ops.deform_conv import set_default_impl
 
     # fast DCN path for inference: fused Pallas frame-DMA kernel with
-    # offsets clamped to ±8 px (ops/pallas/dcn_frame_kernel.py, PERF_NOTES.md)
-    set_default_impl("frame", block_max_offset=8, block_chunk=128)
+    # offsets clamped to ±4 px (ops/pallas/dcn_frame_kernel.py).  Validated
+    # on a trained model: 99.4% of PCD offsets are within ±4 and the output
+    # agrees with the exact gather op to 67.9 dB (PERF_NOTES.md round-2,
+    # tools/validate_dcn_clamp.py)
+    set_default_impl("frame", block_max_offset=4, block_chunk=128)
 
     model = EDVRNoUp(nf=64, nc=3, nframes=NFRAMES, groups=8, front_RBs=5,
                      back_RBs=10, predeblur=False, HR_in=False, w_TSA=False,

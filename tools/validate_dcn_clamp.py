@@ -66,7 +66,7 @@ def main():
     out_exact_like, inter = model.apply(
         {"params": params}, x, mutable=["intermediates"])
     offs = [np.abs(np.asarray(v, np.float32)).ravel()
-            for path, vs in _flatten(inter[0]["intermediates"]) for v in vs]
+            for path, vs in _flatten(inter["intermediates"]) for v in vs]
     mags = np.concatenate(offs)
     print(f"offsets collected: {mags.size:,d}")
     for pct in (50, 90, 99, 99.9, 100):
