@@ -94,15 +94,39 @@ def main():
         fps_1080 = _measure(model, params, 1088, 1920)  # 1080 rounded to /32
         print(f"secondary: 1920x1088 inference {fps_1080:.4f} frames/s",
               file=sys.stderr)
-    except Exception as e:  # pragma: no cover - memory-dependent
-        print(f"secondary 1080p measurement failed: {e}", file=sys.stderr)
+    except Exception:  # full-frame 1080p needs >16 GB HBM on one v5e —
+        # fall back to the overlap-stitched spatial tiling path
+        try:
+            fps_1080 = _measure_tiled_1080(model, params)
+            print(f"secondary: 1920x1088 inference {fps_1080:.4f} frames/s "
+                  "(tiled 576x1024+32, incl. host stitching)",
+                  file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"secondary 1080p measurement failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "edvr_noup_1024x512_inference_frames_per_sec_per_chip",
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS_A100, 4),
-    }))
+    }), flush=True)
+
+
+def _measure_tiled_1080(model, params):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realvsr_tpu.eval.tiled import make_tiled_forward
+
+    fwd = make_tiled_forward(model, params, tile_hw=(576, 1024), overlap=32)
+    window = jnp.zeros((NFRAMES, 1088, 1920, 3), jnp.bfloat16)
+    np.asarray(fwd(window))  # compile all tile shapes
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fwd(window))
+        times.append(time.perf_counter() - t0)
+    return 1.0 / min(times)
 
 
 if __name__ == "__main__":
