@@ -52,7 +52,8 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     kh, kw, cin_g, cout = weight.shape
     assert (kh, kw) == (3, 3) and padding == 1, "block path: 3x3/s1/p1 only"
     if use_pallas == "frame" and block == (8, 16):
-        block = (8, 32)  # wider blocks keep the panel duplication at 4x
+        block = (4, 32)  # measured fastest (geometry sweep, PERF_NOTES.md);
+        # bw=32 keeps the panel duplication at 4x
     k = kh * kw
     dg = deformable_groups
     cpg = cin // dg

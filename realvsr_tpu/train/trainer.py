@@ -167,6 +167,10 @@ class Trainer:
                 donate_argnums=0)
         self.eval_step = jax.jit(make_eval_step(self.model))
         self.rng = jax.random.PRNGKey(seed + 7)
+        # (start, stop) step window for a jax.profiler trace (tools/train.py
+        # --profile); None disables.  Replaces the reference's wall-clock-
+        # only observability (SURVEY §5) with a real device trace.
+        self.profile_steps = None
 
     @property
     def gen_params(self):
@@ -314,6 +318,15 @@ class Trainer:
                     "LQs": jax.device_put(batch["LQs"], sharding),
                     "GT": jax.device_put(batch["GT"], sharding),
                 }
+                if self.profile_steps is not None:
+                    if self.current_step == self.profile_steps[0]:
+                        jax.profiler.start_trace(
+                            osp.join(self.opt["path"]["experiments_root"],
+                                     "profile"))
+                    elif self.current_step == self.profile_steps[1]:
+                        jax.block_until_ready(self.gen_params)
+                        jax.profiler.stop_trace()
+                        logger.info("Saved profiler trace.")
                 self.rng, sub = jax.random.split(self.rng)
                 self.state, logs = self.train_step(self.state, device_batch, sub)
 

@@ -23,6 +23,10 @@ def main():
                              "offsets clamped to ±8 px)")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (e.g. cpu for smoke runs).")
+    parser.add_argument("--profile", action="store_true",
+                        help="Capture a jax.profiler trace of steps ~10-15 "
+                             "into <experiments_root>/profile (view with "
+                             "TensorBoard or xprof).")
     args = parser.parse_args()
 
     if args.platform:
@@ -41,6 +45,8 @@ def main():
 
     opt = parse(args.opt, is_train=True)
     trainer = Trainer(opt)
+    if args.profile:
+        trainer.profile_steps = (10, 15)
     trainer.train()
 
 
