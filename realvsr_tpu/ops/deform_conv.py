@@ -160,20 +160,29 @@ _BLOCK_MAX_OFFSET: int = 8
 _BLOCK_CHUNK: int = 32
 
 
+_PALLAS_INTERPRET: bool = False
+
+
 def set_default_impl(impl: str | None, block_max_offset: int | None = None,
-                     block_chunk: int | None = None):
+                     block_chunk: int | None = None,
+                     pallas_interpret: bool | None = None):
     """Select the DCN implementation globally.
 
-    impl: None (auto exact), 'columns', 'tap_loop', or 'block' (fast,
-    clamped offsets).  Returns the previous setting.
+    impl: None (auto exact), 'columns', 'tap_loop', 'block' (clamped
+    shift-window, XLA), or 'frame' (clamped, fused Pallas kernel with
+    in-kernel frame DMA — forward-only fast path).  pallas_interpret runs
+    the Pallas kernels in interpreter mode (CPU tests).  Returns the
+    previous setting.
     """
-    global _DEFAULT_IMPL, _BLOCK_MAX_OFFSET, _BLOCK_CHUNK
+    global _DEFAULT_IMPL, _BLOCK_MAX_OFFSET, _BLOCK_CHUNK, _PALLAS_INTERPRET
     prev = (_DEFAULT_IMPL, _BLOCK_MAX_OFFSET, _BLOCK_CHUNK)
     _DEFAULT_IMPL = impl
     if block_max_offset is not None:
         _BLOCK_MAX_OFFSET = int(block_max_offset)
     if block_chunk is not None:
         _BLOCK_CHUNK = int(block_chunk)
+    if pallas_interpret is not None:
+        _PALLAS_INTERPRET = bool(pallas_interpret)
     return prev
 
 
@@ -295,7 +304,8 @@ def modulated_deform_conv(x: jax.Array, offset: jax.Array, mask: jax.Array,
             compute_dtype=compute_dtype,
             # 'frame' = fused Pallas kernel with in-kernel frame DMA
             # (forward-only; see ops/pallas/dcn_frame_kernel.py)
-            use_pallas="frame" if impl == "frame" else False)
+            use_pallas="frame" if impl == "frame" else False,
+            pallas_interpret=_PALLAS_INTERPRET)
     if impl == "tap_loop":
         return _modulated_deform_conv_tap_loop(
             x, offset, mask, weight, bias, stride, padding, dilation, groups,

@@ -127,3 +127,23 @@ def test_edvr_block_dcn_matches_exact_at_init():
     finally:
         dc.set_default_impl(*prev)
     np.testing.assert_allclose(blk, exact, atol=2e-5)
+
+
+def test_edvr_frame_kernel_matches_exact_at_init():
+    """Model-level coverage of the fused frame-DMA Pallas path (interpret
+    mode on CPU), including the small L2/L3 pyramid shapes and panel
+    padding for widths below one block."""
+    from realvsr_tpu.ops import deform_conv as dc
+
+    model = EDVRNoUp(nf=16, nc=3, nframes=3, groups=4, front_RBs=1,
+                     back_RBs=1, w_TSA=False)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.random((1, 3, 32, 48, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    exact = np.asarray(model.apply({"params": params}, x))
+    prev = dc.set_default_impl("frame", pallas_interpret=True)
+    try:
+        frm = np.asarray(model.apply({"params": params}, x))
+    finally:
+        dc.set_default_impl(*prev, pallas_interpret=False)
+    np.testing.assert_allclose(frm, exact, atol=2e-5)
