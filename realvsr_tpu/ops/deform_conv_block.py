@@ -69,6 +69,13 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     ph = bh + 2 * r + 3
     pw = bw + 2 * r + 3
 
+    if use_pallas == "frame":
+        # v7 fast path: fused Pallas kernel with in-kernel frame DMA —
+        # exits before the patch-extraction machinery below is traced
+        return _frame_path(x, offset, mask, weight, bias, dg=dg, cpg=cpg,
+                           r=r, bh=bh, bw=bw, k=k, kw=kw, dt=dt,
+                           interpret=pallas_interpret)
+
     # zero-pad: r+1 before (tap -1 plus max negative offset), r+2+align
     # after, plus one extra block so partial q-group slices stay full-stride
     x_pad = jnp.pad(
@@ -187,71 +194,6 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     # weight per tap/group: (k, dg, cpg, cout) → used in the final einsum
     wt = weight.astype(dt).reshape(k, dg, cpg, cout)
 
-    if use_pallas == "frame":
-        # v7: kernel DMAs halo'd slabs from 128-wide column panels — no
-        # patch materialization, no (P, c)-major relayout in XLA (see
-        # ops/pallas/dcn_frame_kernel.py)
-        from realvsr_tpu.ops.pallas.dcn_frame_kernel import dcn_frame_fused
-
-        qn = bh * bw * k
-        phr = -(-ph * cpg // 16) * 16 // cpg  # slab rows, 16-aligned * cpg
-        # padded frame with the halo origin and enough rows for phr slabs
-        xg = jnp.pad(
-            x.astype(dt),
-            ((0, 0), (r + 1, r + 2 + h_pad + (phr - ph)),
-             (r + 1, r + 2 + w_pad), (0, 0)))
-        hp2, wp2 = xg.shape[1], xg.shape[2]
-        # (B, dg, Hp*cpg, Wp) rows (H, c)-major per group.  Done as a
-        # minor-dim swap then a major-block move — the direct 5D transpose
-        # drags cpg=8 through the lane dimension (16x pad, measured 27 ms)
-        xr = jnp.swapaxes(xg, 2, 3)                      # (B, Hp, C, Wp)
-        xr = xr.reshape(b, hp2, dg, cpg, wp2).transpose(0, 2, 1, 3, 4)
-        xr = xr.reshape(b, dg, hp2 * cpg, wp2)
-        # overlapping column panels: stride bw, width 128 (lane-aligned DMA)
-        if wp2 < (nbx - 1) * bw + 128:
-            xr = jnp.pad(xr, ((0, 0),) * 3 +
-                         ((0, (nbx - 1) * bw + 128 - wp2),))
-        xp = jnp.stack(
-            [jax.lax.slice_in_dim(xr, bx * bw, bx * bw + 128, axis=3)
-             for bx in range(nbx)], axis=2)  # (B, dg, nbx, Hp*cpg, 128)
-
-        # coords built with flattened minor dims ((dg*k*2)-channel layout
-        # lane-pads 2x; any (…, dg, k, 2)-minor intermediate pads 14-64x)
-        dk2 = dg * k * 2
-        off_raw = jnp.clip(
-            offset.reshape(b, h, w, dk2).astype(jnp.float32),
-            -float(r), float(r))
-        offp = jnp.pad(off_raw, ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
-        hh, ww = h + h_pad, w + w_pad
-        ch_t = jnp.tile(jnp.repeat(jnp.arange(k), 2), dg)  # tap per channel
-        is_y = jnp.tile(jnp.asarray([1.0, 0.0] * k, jnp.float32), dg)
-        base_t = jnp.where(is_y > 0, ch_t // kw, ch_t % kw).astype(jnp.float32)
-        py = jnp.arange(hh, dtype=jnp.float32)[:, None, None] % bh
-        px = jnp.arange(ww, dtype=jnp.float32)[None, :, None] % bw
-        pos = jnp.where(is_y > 0, py, px) + float(r) + base_t  # (hh, ww, dk2)
-        lyx = pos[None] + offp  # (B, hh, ww, dk2): ly/lx interleaved
-        # → (n, dk2, P) in ONE relayout (flat minors throughout)
-        lyx = lyx.reshape(b, nby, bh, nbx, bw, dk2).transpose(
-            0, 1, 3, 5, 2, 4).reshape(n_all, dk2, bh * bw)
-        lyx = lyx.reshape(n_all, dg, k, 2, bh * bw)
-        ly_q = lyx[:, :, :, 0].reshape(n_all, dg, qn)
-        lx_q = lyx[:, :, :, 1].reshape(n_all, dg, qn)
-        if msk is None:
-            m_q = jnp.ones((n_all, dg, qn), jnp.float32)
-        else:
-            mq = msk.astype(jnp.float32).reshape(n_all, bh * bw, dg * k)
-            m_q = mq.transpose(0, 2, 1).reshape(n_all, dg, qn)
-        coords = jnp.stack([ly_q, lx_q, m_q], axis=2)
-        wt_g = weight.astype(dt).reshape(k, dg, cpg, cout).transpose(
-            1, 0, 2, 3).reshape(dg * k * cpg, cout)
-        out = dcn_frame_fused(xp, coords, wt_g, cpg=cpg, bh=bh, bw=bw,
-                              ph=ph, pw=pw, nby=nby, nbx=nbx, k=k,
-                              interpret=pallas_interpret)
-        out = out[:, :h, :w]
-        if bias is not None:
-            out = out + bias.astype(dt)
-        return out
-
     if use_pallas:
         from realvsr_tpu.ops.pallas.dcn_block_kernel import dcn_block_fused
 
@@ -339,6 +281,85 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     out = out.reshape(n_chunks * ch, bh * bw, cout)[:n_all]
     out = out.reshape(b, nby, nbx, bh, bw, cout).transpose(0, 1, 3, 2, 4, 5)
     out = out.reshape(b, nby * bh, nbx * bw, cout)[:, :h, :w]
+    if bias is not None:
+        out = out + bias.astype(dt)
+    return out
+
+
+def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
+                dt, interpret):
+    """v7: halo slabs DMA'd in-kernel from 128-wide column panels — no
+    patch materialization, no (P, c)-major relayout in XLA (see
+    ops/pallas/dcn_frame_kernel.py)."""
+    from realvsr_tpu.ops.pallas.dcn_frame_kernel import dcn_frame_fused
+
+    b, h, w, cin = x.shape
+    cout = weight.shape[-1]
+    h_pad = (-h) % bh
+    w_pad = (-w) % bw
+    nby = (h + h_pad) // bh
+    nbx = (w + w_pad) // bw
+    n_all = b * nby * nbx
+    ph = bh + 2 * r + 3
+    pw = bw + 2 * r + 3
+    qn = bh * bw * k
+    phr = -(-ph * cpg // 16) * 16 // cpg  # slab rows, 16-aligned * cpg
+    # padded frame with the halo origin and enough rows for phr slabs
+    xg = jnp.pad(
+        x.astype(dt),
+        ((0, 0), (r + 1, r + 2 + h_pad + (phr - ph)),
+         (r + 1, r + 2 + w_pad), (0, 0)))
+    hp2, wp2 = xg.shape[1], xg.shape[2]
+    # (B, dg, Hp*cpg, Wp) rows (H, c)-major per group, via a minor-dim swap
+    # then a major-block move (the direct 5D transpose drags cpg=8 through
+    # the lane dimension)
+    xr = jnp.swapaxes(xg, 2, 3)                      # (B, Hp, C, Wp)
+    xr = xr.reshape(b, hp2, dg, cpg, wp2).transpose(0, 2, 1, 3, 4)
+    xr = xr.reshape(b, dg, hp2 * cpg, wp2)
+    # overlapping column panels: stride bw, width 128 (lane-aligned DMA)
+    if wp2 < (nbx - 1) * bw + 128:
+        xr = jnp.pad(xr, ((0, 0),) * 3 +
+                     ((0, (nbx - 1) * bw + 128 - wp2),))
+    xp = jnp.stack(
+        [jax.lax.slice_in_dim(xr, bx * bw, bx * bw + 128, axis=3)
+         for bx in range(nbx)], axis=2)  # (B, dg, nbx, Hp*cpg, 128)
+
+    # coords built with flattened minor dims ((dg*k*2)-channel layout
+    # lane-pads 2x; any (…, dg, k, 2)-minor intermediate pads 14-64x)
+    dk2 = dg * k * 2
+    off_raw = jnp.clip(
+        offset.reshape(b, h, w, dk2).astype(jnp.float32),
+        -float(r), float(r))
+    offp = jnp.pad(off_raw, ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+    hh, ww = h + h_pad, w + w_pad
+    ch_t = jnp.tile(jnp.repeat(jnp.arange(k), 2), dg)  # tap per channel
+    is_y = jnp.tile(jnp.asarray([1.0, 0.0] * k, jnp.float32), dg)
+    base_t = jnp.where(is_y > 0, ch_t // kw, ch_t % kw).astype(jnp.float32)
+    py = jnp.arange(hh, dtype=jnp.float32)[:, None, None] % bh
+    px = jnp.arange(ww, dtype=jnp.float32)[None, :, None] % bw
+    pos = jnp.where(is_y > 0, py, px) + float(r) + base_t  # (hh, ww, dk2)
+    lyx = pos[None] + offp  # (B, hh, ww, dk2): ly/lx interleaved
+    # → (n, dk2, P) in ONE relayout (flat minors throughout)
+    lyx = lyx.reshape(b, nby, bh, nbx, bw, dk2).transpose(
+        0, 1, 3, 5, 2, 4).reshape(n_all, dk2, bh * bw)
+    lyx = lyx.reshape(n_all, dg, k, 2, bh * bw)
+    ly_q = lyx[:, :, :, 0].reshape(n_all, dg, qn)
+    lx_q = lyx[:, :, :, 1].reshape(n_all, dg, qn)
+    if mask is None:
+        m_q = jnp.ones((n_all, dg, qn), jnp.float32)
+    else:
+        mp = jnp.pad(mask.reshape(b, h, w, dg * k).astype(jnp.float32),
+                     ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+        mp = mp.reshape(b, nby, bh, nbx, bw, dg * k).transpose(
+            0, 1, 3, 5, 2, 4).reshape(n_all, dg * k, bh * bw)
+        m_q = mp.reshape(n_all, dg, qn)
+    coords = jnp.stack([ly_q, lx_q, m_q], axis=2)
+    wt_g = weight.astype(dt).reshape(k, dg, cpg, cout).transpose(
+        1, 0, 2, 3).reshape(dg * k * cpg, cout)
+    out = dcn_frame_fused(xp, coords, wt_g, cpg=cpg, bh=bh, bw=bw,
+                          ph=ph, pw=pw, nby=nby, nbx=nbx, k=k,
+                          interpret=interpret)
+    out = out[:, :h, :w]
     if bias is not None:
         out = out + bias.astype(dt)
     return out
