@@ -94,9 +94,12 @@ def _kernel(coords_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref, s_ref,
         for kk in range(k):
             row = (g * k + kk) * cpg
             s_ref[row:row + cpg, :] = s[:, kk * p:(kk + 1) * p]
-    out_ref[0] = jax.lax.dot_general(
+    acc = jax.lax.dot_general(
         s_ref[:, :], wt_ref[:, :], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dt)
+    # write straight into the (B, H', W', cout) frame layout — saves the
+    # block→frame transpose XLA would otherwise do
+    out_ref[0] = acc.reshape(out_ref.shape[1:])
 
 
 def dcn_frame_fused(xp: jax.Array, coords: jax.Array, wt: jax.Array, *,
@@ -118,6 +121,11 @@ def dcn_frame_fused(xp: jax.Array, coords: jax.Array, wt: jax.Array, *,
     kern = functools.partial(_kernel, p=p, k=k, dg=dg, cpg=cpg, ph=ph,
                              pw=pw, bh=bh, nby=nby, nbx=nbx)
     flops = 2 * n_all * dg * (q * 128 * phr * cpg) + 2 * n_all * p * wt.size
+    nbyx = nby * nbx
+
+    def out_index(i):
+        return (i // nbyx, (i % nbyx) // nbx, i % nbx, 0)
+
     out = pl.pallas_call(
         kern,
         grid=(n_all,),
@@ -128,9 +136,9 @@ def dcn_frame_fused(xp: jax.Array, coords: jax.Array, wt: jax.Array, *,
             pl.BlockSpec((dg * k * cpg, cout), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, p, cout), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, bh, bw, cout), out_index,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_all, p, cout), dt),
+        out_shape=jax.ShapeDtypeStruct((b_, nby * bh, nbx * bw, cout), dt),
         scratch_shapes=[
             pltpu.VMEM((2, dg, phr * cpg, 128), dt),
             pltpu.VMEM((128, q), dt),
