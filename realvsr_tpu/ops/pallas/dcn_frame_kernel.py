@@ -88,6 +88,8 @@ def _kernel(coords_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref, s_ref,
         pg = slab_ref[slot, g].reshape(phr * cpg, 128)
         h = jnp.dot(pg, wx_ref[:, :],
                     preferred_element_type=jnp.float32).astype(dt)
+        # vertical lerp fold: PHR static contiguous (cpg, q) FMAs (a
+        # balanced-tree variant measured identical — throughput-bound)
         s = h[0:cpg, :] * wy_t[0:1, :]
         for pp in range(1, phr):
             s = s + h[pp * cpg:(pp + 1) * cpg, :] * wy_t[pp:pp + 1, :]
