@@ -108,23 +108,51 @@ class Environment:
         data = path if path.endswith(".mdb") else osp.join(path, "data.mdb")
         self._f = builtins.open(data, "rb")
         self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
-        m0 = self._read_meta(0)
-        m1 = self._read_meta(1)
-        meta = m0 if m0["txnid"] >= m1["txnid"] else m1
+        # liblmdb tolerates one torn/corrupt meta page by failing over to
+        # the other; mirror that: a bad meta 0 must not poison the psize
+        # probe for meta 1 (tried at the common page sizes)
+        try:
+            m0 = self._read_meta(0)
+        except ValueError:
+            m0 = None
+        try:
+            m1 = self._read_meta(1)
+        except ValueError:
+            m1 = None
+        if m0 is None and m1 is None:
+            raise ValueError("not an LMDB data file (both meta pages invalid)")
+        if m0 is None:
+            meta = m1
+        elif m1 is None:
+            meta = m0
+        else:
+            meta = m0 if m0["txnid"] >= m1["txnid"] else m1
         self.psize = meta["psize"]
         self.root = meta["root"]
         self.entries = meta["entries"]
 
     def _read_meta(self, pageno: int) -> dict:
         # meta candidates live on the first two pages; page size is not yet
-        # known, but real page sizes are ≥4096 and meta 1 sits one page in —
-        # probe the psize field of meta 0 first
+        # known.  Validate meta 0's magic BEFORE trusting its psize field;
+        # if meta 0 is torn, locate meta 1 by probing the default page sizes
         base0 = PAGEHDRSZ
-        psize = struct.unpack_from("<I", self._mm, base0 + 24)[0]
         if pageno == 0:
             base = base0
         else:
-            base = (psize if psize else 4096) + PAGEHDRSZ
+            m0_magic, = struct.unpack_from("<I", self._mm, base0)
+            psize0 = struct.unpack_from("<I", self._mm, base0 + 24)[0]
+            candidates = [psize0] if m0_magic == MAGIC and psize0 else []
+            candidates += [4096, 8192, 16384, 32768]
+            base = None
+            for ps in candidates:
+                if ps + PAGEHDRSZ + 136 > len(self._mm):
+                    continue
+                magic, = struct.unpack_from("<I", self._mm, ps + PAGEHDRSZ)
+                if magic == MAGIC:
+                    base = ps + PAGEHDRSZ
+                    break
+            if base is None:
+                raise ValueError("meta page 1 not found at any page size")
         magic, version = struct.unpack_from("<II", self._mm, base)
         if magic != MAGIC or version > 2:
             raise ValueError(f"not an LMDB data file (magic {magic:#x})")

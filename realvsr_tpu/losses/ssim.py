@@ -46,6 +46,11 @@ def ssim_value(x, y, win_size: int = 11, win_sigma: float = 1.5,
         if f > 1:
             x = _avg_pool(x, f)
             y = _avg_pool(y, f)
+    if x.shape[1] < win_size or x.shape[2] < win_size:
+        raise ValueError(
+            f"ssim: input {x.shape[1]}x{x.shape[2]} smaller than the "
+            f"{win_size}-tap window (VALID filtering would be empty; with "
+            "the lappyr criterion this needs crops >= 4*11 px)")
     c1 = 0.01**2
     c2 = 0.03**2
     win = _fspecial_gauss(win_size, win_sigma)

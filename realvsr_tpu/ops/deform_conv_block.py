@@ -40,7 +40,8 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
                                 chunk_blocks: int = 128,
                                 compute_dtype=None,
                                 use_pallas: bool = False,
-                                pallas_interpret: bool = False) -> jax.Array:
+                                pallas_interpret: bool = False,
+                                frame_fold: str = "tree") -> jax.Array:
     """DCNv2 with offsets clamped to [-max_offset, max_offset], NHWC.
 
     Semantics otherwise match
@@ -74,7 +75,7 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
         # exits before the patch-extraction machinery below is traced
         return _frame_path(x, offset, mask, weight, bias, dg=dg, cpg=cpg,
                            r=r, bh=bh, bw=bw, k=k, kw=kw, dt=dt,
-                           interpret=pallas_interpret)
+                           interpret=pallas_interpret, fold=frame_fold)
 
     # zero-pad: r+1 before (tap -1 plus max negative offset), r+2+align
     # after, plus one extra block so partial q-group slices stay full-stride
@@ -287,11 +288,13 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
 
 
 def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
-                dt, interpret):
-    """v7: halo slabs DMA'd in-kernel from 128-wide column panels — no
-    patch materialization, no (P, c)-major relayout in XLA (see
+                dt, interpret, fold="tree"):
+    """v8: halo slabs DMA'd in-kernel from 128-wide column panels; the
+    coordinates ship as fixed-point int16 (ly, lx) plus a bf16 mask — one
+    fused elementwise build + one relayout instead of the v7 f32 coords
+    stack that profiler-attributed at ~40 ms/full-res call (see
     ops/pallas/dcn_frame_kernel.py)."""
-    from realvsr_tpu.ops.pallas.dcn_frame_kernel import dcn_frame_fused
+    from realvsr_tpu.ops.pallas.dcn_frame_kernel import dcn_frame_fused, fx_scales
 
     b, h, w, cin = x.shape
     cout = weight.shape[-1]
@@ -324,40 +327,38 @@ def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
         [jax.lax.slice_in_dim(xr, bx * bw, bx * bw + 128, axis=3)
          for bx in range(nbx)], axis=2)  # (B, dg, nbx, Hp*cpg, 128)
 
-    # coords built with flattened minor dims ((dg*k*2)-channel layout
-    # lane-pads 2x; any (…, dg, k, 2)-minor intermediate pads 14-64x)
-    dk2 = dg * k * 2
-    off_raw = jnp.clip(
-        offset.reshape(b, h, w, dk2).astype(jnp.float32),
-        -float(r), float(r))
-    offp = jnp.pad(off_raw, ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+    # fixed-point block-local positions, one fused elementwise transform:
+    # ly = (y % bh) + r + tap_row + clip(dy), scaled by a static power of
+    # two and rounded to int16 (<= 1/256-px quantization)
+    fy, fx = fx_scales(ph, pw)
     hh, ww = h + h_pad, w + w_pad
-    ch_t = jnp.tile(jnp.repeat(jnp.arange(k), 2), dg)  # tap per channel
-    is_y = jnp.tile(jnp.asarray([1.0, 0.0] * k, jnp.float32), dg)
-    base_t = jnp.where(is_y > 0, ch_t // kw, ch_t % kw).astype(jnp.float32)
-    py = jnp.arange(hh, dtype=jnp.float32)[:, None, None] % bh
-    px = jnp.arange(ww, dtype=jnp.float32)[None, :, None] % bw
-    pos = jnp.where(is_y > 0, py, px) + float(r) + base_t  # (hh, ww, dk2)
-    lyx = pos[None] + offp  # (B, hh, ww, dk2): ly/lx interleaved
-    # → (n, dk2, P) in ONE relayout (flat minors throughout)
-    lyx = lyx.reshape(b, nby, bh, nbx, bw, dk2).transpose(
-        0, 1, 3, 5, 2, 4).reshape(n_all, dk2, bh * bw)
-    lyx = lyx.reshape(n_all, dg, k, 2, bh * bw)
-    ly_q = lyx[:, :, :, 0].reshape(n_all, dg, qn)
-    lx_q = lyx[:, :, :, 1].reshape(n_all, dg, qn)
+    dk2 = dg * k * 2
+    ci = jnp.arange(dk2)
+    tap = (ci // 2) % k
+    is_y = (ci % 2) == 0
+    base_t = jnp.where(is_y, tap // kw, tap % kw).astype(jnp.float32) + r
+    scale = jnp.where(is_y, float(fy), float(fx))
+    py = (jnp.arange(hh) % bh).astype(jnp.float32)[:, None, None]
+    px = (jnp.arange(ww) % bw).astype(jnp.float32)[None, :, None]
+    pos = jnp.where(is_y, py, px) + base_t           # (hh, ww, dk2)
+    offp = jnp.pad(offset.reshape(b, h, w, dk2),
+                   ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+    val = (jnp.clip(offp.astype(jnp.float32), -float(r), float(r)) + pos)
+    fxp = jnp.round(val * scale).astype(jnp.int16)   # (b, hh, ww, dk2)
+    # one relayout → rows (g, comp) with q = (tap, y, x) tap-major
+    lyx = fxp.reshape(b, nby, bh, nbx, bw, dg, k, 2).transpose(
+        0, 1, 3, 5, 7, 6, 2, 4).reshape(n_all, dg * 2, qn)
     if mask is None:
-        m_q = jnp.ones((n_all, dg, qn), jnp.float32)
+        m_q = jnp.ones((n_all, dg, qn), dt)
     else:
-        mp = jnp.pad(mask.reshape(b, h, w, dg * k).astype(jnp.float32),
+        mp = jnp.pad(mask.reshape(b, h, w, dg * k).astype(dt),
                      ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
-        mp = mp.reshape(b, nby, bh, nbx, bw, dg * k).transpose(
-            0, 1, 3, 5, 2, 4).reshape(n_all, dg * k, bh * bw)
-        m_q = mp.reshape(n_all, dg, qn)
-    coords = jnp.stack([ly_q, lx_q, m_q], axis=2)
+        m_q = mp.reshape(b, nby, bh, nbx, bw, dg, k).transpose(
+            0, 1, 3, 5, 6, 2, 4).reshape(n_all, dg, qn)
     wt_g = weight.astype(dt).reshape(k, dg, cpg, cout).transpose(
         1, 0, 2, 3).reshape(dg * k * cpg, cout)
-    out = dcn_frame_fused(xp, coords, wt_g, cpg=cpg, bh=bh, bw=bw,
-                          ph=ph, pw=pw, nby=nby, nbx=nbx, k=k,
+    out = dcn_frame_fused(xp, lyx, m_q, wt_g, cpg=cpg, bh=bh, bw=bw,
+                          ph=ph, pw=pw, nby=nby, nbx=nbx, k=k, fold=fold,
                           interpret=interpret)
     out = out[:, :h, :w]
     if bias is not None:

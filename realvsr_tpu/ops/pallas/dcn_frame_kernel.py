@@ -1,25 +1,38 @@
-"""Fused DCN kernel v7: reads halo'd blocks from 128-wide column panels.
+"""Fused DCN kernel v8: frame-DMA sampling with fixed-point coordinates.
 
-Same compute structure as dcn_block_kernel (v6, horizontal-first), but the
-halo'd patches are DMA'd inside the kernel with double buffering from a
-panel tensor — eliminating the XLA-side patch materialization and its
-(P, c)-major relayout (~half of the v6 call time at full res).
+Same compute structure as v7 (horizontal-first MXU sampling from 128-wide
+column panels, in-kernel double-buffered DMA), with the round-3 changes
+that attack the two measured cost centers (PERF_NOTES round-2 map; trace
+attribution in tools/profile_inference.py):
 
-TPU DMA lane slices must be 128-aligned in offset and shape, so the frame
-is pre-tiled in XLA into overlapping column panels of width exactly 128
-(stride bw): xp (B, dg, nbx, Hp*cpg, 128), rows (H, c)-major per group.
-Per block the kernel DMAs a (dg, PHR*cpg, 128) slab — dim-3 slices at
-y0*cpg are 16-aligned because bh*cpg is — and the horizontal hat weights
-are built only over the first PW_PAD sublanes of a persistent (128, q)
-buffer whose tail rows are zeroed once (clamped lx never reaches them, and
-zero rows make the K=128 matmul exact).  K = 128 costs the same MXU time
-as any pw <= 128 (passes are 128 deep), so the panel scheme loses nothing.
+1. **Fixed-point int16 coordinates.**  The v7 (n, dg, 3, q) f32 coords
+   tensor cost ~1.36 GB of HBM per full-res call and ~40 ms of XLA-side
+   f32 fusions/copies to build (profiler-attributed).  v8 takes
+   (n, dg*2, q) int16 positions (ly, lx interleaved per group, scaled by
+   static powers of two) plus a (n, dg, q) bf16 mask — 2.9x less traffic —
+   and recovers floor/fraction with exact integer shift/mask ops on the
+   VPU.  The scales are chosen per call so positions fit int16
+   (ly <= ph*fy, lx <= pw*fx < 32768) with at least 1/256-px resolution.
+
+2. **Full-tile vertical fold.**  v7 folded the vertical lerp with PH
+   strided (cpg, q) FMAs; cpg=8-row slices of a bf16 array are half a
+   (16, 128) sublane tile, so each FMA pays full-tile cost (a reassociated
+   tree measured identical — same half-tile slices).  v8 expands the
+   (phr, q) hat weights to (phr*cpg, q) rows with an iota//cpg comparison
+   build, multiplies once at full tile utilization, and reduces with
+   log2(phr) contiguous tile-aligned halving adds.
 
 Inputs:
-  xp:     (B, dg, nbx, Hp*cpg, 128) panels, HBM-resident (pl.ANY).
-  coords: (n_all, dg, 3, q) f32 — (ly, lx, mask), q tap-major; lx is local
-          to the block's halo window, which starts exactly at its panel.
-  wt:     (dg*k*cpg, cout) tap-GEMM weights, rows (g, tap, c).
+  xp:  (B, dg, nbx, Hp*cpg, 128) column panels, HBM-resident (pl.ANY),
+       rows (H, c)-major per group; panels overlap at stride bw so the
+       in-kernel DMA lane window is always exactly 128.
+  lyx: (n_all, dg*2, q) int16 — rows (2g, 2g+1) = (ly*fy, lx*fx) for
+       group g, q tap-major (q = kk*p + pixel).
+  m:   (n_all, dg, q) bf16 modulation mask (sigmoid already applied).
+  wt:  (dg*k*cpg, cout) tap-GEMM weights, rows (g, tap, c).
+
+Replaces the reference CUDA sampling/im2col kernels
+(codes/models/archs/dcn/src/deform_conv_cuda_kernel.cu:571-634).
 """
 from __future__ import annotations
 
@@ -35,8 +48,19 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _kernel(coords_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref, s_ref,
-            sem_ref, *, p, k, dg, cpg, ph, pw, bh, nby, nbx):
+def fx_scales(ph: int, pw: int) -> tuple[int, int]:
+    """Largest power-of-two fixed-point scales s.t. (dim+1)*scale < 2**15."""
+    def pick(n):
+        s = 1
+        while (n + 1) * (s * 2) < 32768:
+            s *= 2
+        return s
+    return pick(ph), pick(pw)
+
+
+def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref,
+            wy_ref, s_ref, sem_ref, *, p, k, dg, cpg, ph, pw, bh, nby, nbx,
+            ly2, lx2, fold):
     dt = out_ref.dtype
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -67,32 +91,46 @@ def _kernel(coords_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref, s_ref,
     slab_dma(i % 2, i).wait()
     slot = i % 2
 
-    io_p = jax.lax.broadcasted_iota(jnp.int32, (phr, 1), 0)
     io_q = jax.lax.broadcasted_iota(jnp.int32, (pw_built, 1), 0)
+    if fold == "tree":
+        # row r of the expanded hats corresponds to patch row r // cpg
+        io_pe = jax.lax.broadcasted_iota(jnp.int32, (phr * cpg, 1), 0) // cpg
+    else:
+        io_pe = jax.lax.broadcasted_iota(jnp.int32, (phr, 1), 0)
     for g in range(dg):
-        c = coords_ref[0, g]
-        ly = c[0:1, :]
-        lx = c[1:2, :]
-        mask = c[2:3, :]
-        y0f = jnp.floor(ly)
-        ty = (ly - y0f).astype(dt)
-        y0i = y0f.astype(jnp.int32)
-        x0f = jnp.floor(lx)
-        tx = (lx - x0f).astype(dt)
-        x0i = x0f.astype(jnp.int32)
-        wy_t = ((io_p == y0i).astype(dt) * (1 - ty)
-                + (io_p == y0i + 1).astype(dt) * ty)
+        # integer fixed-point -> (floor, fraction): exact, no f32 rounding
+        lyi = lyx_ref[0, 2 * g:2 * g + 1, :].astype(jnp.int32)
+        lxi = lyx_ref[0, 2 * g + 1:2 * g + 2, :].astype(jnp.int32)
+        y2c, x2c = jnp.int32(ly2), jnp.int32(lx2)
+        y0i = jax.lax.shift_right_logical(lyi, y2c)
+        ty = (lyi - jax.lax.shift_left(y0i, y2c)).astype(dt) * (2.0 ** -ly2)
+        x0i = jax.lax.shift_right_logical(lxi, x2c)
+        tx = (lxi - jax.lax.shift_left(x0i, x2c)).astype(dt) * (2.0 ** -lx2)
+        mask = m_ref[0, g:g + 1, :].astype(dt)
+        wy_ref[:, :] = ((io_pe == y0i).astype(dt) * (1 - ty)
+                        + (io_pe == y0i + 1).astype(dt) * ty)
         wx_ref[0:pw_built, :] = (((io_q == x0i).astype(dt) * (1 - tx)
                                   + (io_q == x0i + 1).astype(dt) * tx)
-                                 * mask.astype(dt))
+                                 * mask)
         pg = slab_ref[slot, g].reshape(phr * cpg, 128)
         h = jnp.dot(pg, wx_ref[:, :],
                     preferred_element_type=jnp.float32).astype(dt)
-        # vertical lerp fold: PHR static contiguous (cpg, q) FMAs (a
-        # balanced-tree variant measured identical — throughput-bound)
-        s = h[0:cpg, :] * wy_t[0:1, :]
-        for pp in range(1, phr):
-            s = s + h[pp * cpg:(pp + 1) * cpg, :] * wy_t[pp:pp + 1, :]
+        if fold == "tree":
+            # one full-tile multiply + contiguous halving adds (rows are
+            # (pp, c)-major: adding the halves folds pp pairs); when phr is
+            # not a power of two the tail folds with strided slices
+            x = h * wy_ref[:, :]
+            rows = phr * cpg
+            while rows > cpg and rows % (2 * cpg) == 0:
+                rows //= 2
+                x = x[0:rows, :] + x[rows:2 * rows, :]
+            s = x[0:cpg, :]
+            for pp in range(1, rows // cpg):
+                s = s + x[pp * cpg:(pp + 1) * cpg, :]
+        else:
+            s = h[0:cpg, :] * wy_ref[0:1, :]
+            for pp in range(1, phr):
+                s = s + h[pp * cpg:(pp + 1) * cpg, :] * wy_ref[pp:pp + 1, :]
         for kk in range(k):
             row = (g * k + kk) * cpg
             s_ref[row:row + cpg, :] = s[:, kk * p:(kk + 1) * p]
@@ -104,35 +142,43 @@ def _kernel(coords_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref, s_ref,
     out_ref[0] = acc.reshape(out_ref.shape[1:])
 
 
-def dcn_frame_fused(xp: jax.Array, coords: jax.Array, wt: jax.Array, *,
+def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
+                    wt: jax.Array, *,
                     cpg: int, bh: int, bw: int, ph: int, pw: int,
-                    nby: int, nbx: int, k: int = 9,
+                    nby: int, nbx: int, k: int = 9, fold: str = "tree",
                     interpret: bool = False) -> jax.Array:
     b_, dg, nbx_, hpc, lanes = xp.shape
     assert nbx_ == nbx and lanes == 128 and pw <= 128
     cout = wt.shape[-1]
-    n_all, _, _, q = coords.shape
+    n_all, dg2, q = lyx.shape
+    assert dg2 == dg * 2 and lyx.dtype == jnp.int16
     p = q // k
     assert p == bh * bw and n_all == b_ * nby * nbx
     assert (bh * cpg) % 16 == 0, "row-slice alignment needs bh*cpg % 16 == 0"
+    fy, fx = fx_scales(ph, pw)
+    ly2, lx2 = fy.bit_length() - 1, fx.bit_length() - 1
     # slab row-count padded so phr*cpg is a 16-multiple (sublane tiling);
     # the extra hat row gets zero weight (clamped ly never reaches it)
     phr = _round_up(ph * cpg, 16) // cpg
     dt = xp.dtype
 
     kern = functools.partial(_kernel, p=p, k=k, dg=dg, cpg=cpg, ph=ph,
-                             pw=pw, bh=bh, nby=nby, nbx=nbx)
+                             pw=pw, bh=bh, nby=nby, nbx=nbx,
+                             ly2=ly2, lx2=lx2, fold=fold)
     flops = 2 * n_all * dg * (q * 128 * phr * cpg) + 2 * n_all * p * wt.size
     nbyx = nby * nbx
 
     def out_index(i):
         return (i // nbyx, (i % nbyx) // nbx, i % nbx, 0)
 
+    wy_rows = phr * cpg if fold == "tree" else phr
     out = pl.pallas_call(
         kern,
         grid=(n_all,),
         in_specs=[
-            pl.BlockSpec((1, dg, 3, q), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, dg * 2, q), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dg, q), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((dg * k * cpg, cout), lambda i: (0, 0),
@@ -144,13 +190,15 @@ def dcn_frame_fused(xp: jax.Array, coords: jax.Array, wt: jax.Array, *,
         scratch_shapes=[
             pltpu.VMEM((2, dg, phr * cpg, 128), dt),
             pltpu.VMEM((128, q), dt),
+            pltpu.VMEM((wy_rows, q), dt),
             pltpu.VMEM((dg * k * cpg, p), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=n_all * (dg * phr * cpg * 128 + 3 * q * 4) * 2,
+            bytes_accessed=n_all * (dg * phr * cpg * 128 * 2
+                                    + dg * 2 * q * 2 + dg * q * 2),
             transcendentals=0),
         interpret=interpret,
-    )(coords, xp, wt)
+    )(lyx.reshape(n_all, dg * 2, q), m, xp, wt)
     return out

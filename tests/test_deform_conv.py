@@ -215,6 +215,6 @@ class TestPallasFusedKernel:
         pal = modulated_deform_conv_block(x, off, m, wgt, bias, 1, dgq,
                                           max_offset=r, use_pallas="frame",
                                           pallas_interpret=True)
-        # frame path uses 8x32 blocks vs the reference's 8x16 — contraction
-        # widths differ, so f32 sum association differs at the ~2e-6 level
-        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
+        # v8 ships fixed-point int16 coordinates (>=1/256-px resolution) —
+        # position quantization bounds the sampled-value error at ~5e-3
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=8e-3)

@@ -19,6 +19,7 @@ import os
 import os.path as osp
 import pickle
 import sys
+import zlib
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
@@ -94,8 +95,10 @@ def create_lmdb(png_root, dst_path, sharpen=False, seed=0):
                 key = f"{seq}_{frame:05d}"
                 img = cv2.imread(p, cv2.IMREAD_UNCHANGED)
                 if sharpen:
+                    # stable per-key digest — Python's hash() is salted per
+                    # process (PYTHONHASHSEED) and would break repeatability
                     rng = np.random.default_rng(
-                        (hash(key) ^ seed) & 0x7FFFFFFF)
+                        (zlib.crc32(key.encode("ascii")) ^ seed) & 0x7FFFFFFF)
                     img = sharpen_gt(img, rng)
                 yield key.encode("ascii"), np.ascontiguousarray(img).tobytes()
 

@@ -18,9 +18,10 @@ def main():
     parser.add_argument("-opt", type=str, required=True,
                         help="Path to option YAML file.")
     parser.add_argument("--dcn_impl", type=str, default=None,
-                        choices=["columns", "tap_loop", "block", "frame"],
+                        choices=["columns", "tap_loop", "block"],
                         help="DCN implementation override (block = fast, "
-                             "offsets clamped to ±8 px)")
+                             "offsets clamped to ±8 px; the 'frame' Pallas "
+                             "kernel is forward-only and rejected here)")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (e.g. cpu for smoke runs).")
     parser.add_argument("--profile", action="store_true",
