@@ -41,7 +41,8 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
                                 compute_dtype=None,
                                 use_pallas: bool = False,
                                 pallas_interpret: bool = False,
-                                frame_fold: str = "tree") -> jax.Array:
+                                frame_fold: str = "slices",
+                                frame_hat: str = "int32") -> jax.Array:
     """DCNv2 with offsets clamped to [-max_offset, max_offset], NHWC.
 
     Semantics otherwise match
@@ -53,8 +54,8 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     kh, kw, cin_g, cout = weight.shape
     assert (kh, kw) == (3, 3) and padding == 1, "block path: 3x3/s1/p1 only"
     if use_pallas == "frame" and block == (8, 16):
-        block = (4, 32)  # measured fastest (geometry sweep, PERF_NOTES.md);
-        # bw=32 keeps the panel duplication at 4x
+        block = (4, 64)  # measured fastest (round-3 geometry sweep,
+        # PERF_NOTES.md); bw=64 halves the panel duplication and DMA
     k = kh * kw
     dg = deformable_groups
     cpg = cin // dg
@@ -75,7 +76,8 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
         # exits before the patch-extraction machinery below is traced
         return _frame_path(x, offset, mask, weight, bias, dg=dg, cpg=cpg,
                            r=r, bh=bh, bw=bw, k=k, kw=kw, dt=dt,
-                           interpret=pallas_interpret, fold=frame_fold)
+                           interpret=pallas_interpret, fold=frame_fold,
+                           hat=frame_hat)
 
     # zero-pad: r+1 before (tap -1 plus max negative offset), r+2+align
     # after, plus one extra block so partial q-group slices stay full-stride
@@ -288,7 +290,7 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
 
 
 def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
-                dt, interpret, fold="tree"):
+                dt, interpret, fold="slices", hat="int32"):
     """v8: halo slabs DMA'd in-kernel from 128-wide column panels; the
     coordinates ship as fixed-point int16 (ly, lx) plus a bf16 mask — one
     fused elementwise build + one relayout instead of the v7 f32 coords
@@ -359,7 +361,7 @@ def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
         1, 0, 2, 3).reshape(dg * k * cpg, cout)
     out = dcn_frame_fused(xp, lyx, m_q, wt_g, cpg=cpg, bh=bh, bw=bw,
                           ph=ph, pw=pw, nby=nby, nbx=nbx, k=k, fold=fold,
-                          interpret=interpret)
+                          hat=hat, interpret=interpret)
     out = out[:, :h, :w]
     if bias is not None:
         out = out + bias.astype(dt)

@@ -60,7 +60,7 @@ def fx_scales(ph: int, pw: int) -> tuple[int, int]:
 
 def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref,
             wy_ref, s_ref, sem_ref, *, p, k, dg, cpg, ph, pw, bh, nby, nbx,
-            ly2, lx2, fold):
+            ly2, lx2, fold, hat):
     dt = out_ref.dtype
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -91,12 +91,18 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref,
     slab_dma(i % 2, i).wait()
     slot = i % 2
 
+    hat_t = jnp.int32 if hat == "int32" else dt
     io_q = jax.lax.broadcasted_iota(jnp.int32, (pw_built, 1), 0)
     if fold == "tree":
         # row r of the expanded hats corresponds to patch row r // cpg
         io_pe = jax.lax.broadcasted_iota(jnp.int32, (phr * cpg, 1), 0) // cpg
     else:
         io_pe = jax.lax.broadcasted_iota(jnp.int32, (phr, 1), 0)
+    # the iota-vs-floor compares can run in the feature dtype: indices are
+    # small integers, exact in bf16, and bf16 VPU ops process 2x the rows
+    # of int32 per tile
+    io_qh = io_q.astype(hat_t)
+    io_ph = io_pe.astype(hat_t)
     for g in range(dg):
         # integer fixed-point -> (floor, fraction): exact, no f32 rounding
         lyi = lyx_ref[0, 2 * g:2 * g + 1, :].astype(jnp.int32)
@@ -107,11 +113,16 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref,
         x0i = jax.lax.shift_right_logical(lxi, x2c)
         tx = (lxi - jax.lax.shift_left(x0i, x2c)).astype(dt) * (2.0 ** -lx2)
         mask = m_ref[0, g:g + 1, :].astype(dt)
-        wy_ref[:, :] = ((io_pe == y0i).astype(dt) * (1 - ty)
-                        + (io_pe == y0i + 1).astype(dt) * ty)
-        wx_ref[0:pw_built, :] = (((io_q == x0i).astype(dt) * (1 - tx)
-                                  + (io_q == x0i + 1).astype(dt) * tx)
-                                 * mask)
+        y0h = y0i.astype(hat_t)
+        x0h = x0i.astype(hat_t)
+        # fold the mask into the two lerp weights ((1, q) ops) instead of
+        # multiplying the whole (pw, q) hat matrix by it
+        ax = (1 - tx) * mask
+        bx = tx * mask
+        wy_ref[:, :] = ((io_ph == y0h).astype(dt) * (1 - ty)
+                        + (io_ph == y0h + 1).astype(dt) * ty)
+        wx_ref[0:pw_built, :] = ((io_qh == x0h).astype(dt) * ax
+                                 + (io_qh == x0h + 1).astype(dt) * bx)
         pg = slab_ref[slot, g].reshape(phr * cpg, 128)
         h = jnp.dot(pg, wx_ref[:, :],
                     preferred_element_type=jnp.float32).astype(dt)
@@ -145,7 +156,8 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref,
 def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
                     wt: jax.Array, *,
                     cpg: int, bh: int, bw: int, ph: int, pw: int,
-                    nby: int, nbx: int, k: int = 9, fold: str = "tree",
+                    nby: int, nbx: int, k: int = 9, fold: str = "slices",
+                    hat: str = "int32",
                     interpret: bool = False) -> jax.Array:
     b_, dg, nbx_, hpc, lanes = xp.shape
     assert nbx_ == nbx and lanes == 128 and pw <= 128
@@ -164,7 +176,7 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
 
     kern = functools.partial(_kernel, p=p, k=k, dg=dg, cpg=cpg, ph=ph,
                              pw=pw, bh=bh, nby=nby, nbx=nbx,
-                             ly2=ly2, lx2=lx2, fold=fold)
+                             ly2=ly2, lx2=lx2, fold=fold, hat=hat)
     flops = 2 * n_all * dg * (q * 128 * phr * cpg) + 2 * n_all * p * wt.size
     nbyx = nby * nbx
 

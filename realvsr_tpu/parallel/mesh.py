@@ -28,9 +28,10 @@ def maybe_initialize_distributed() -> None:
         jax.distributed.initialize()
 
 
-def create_mesh(data_axis: int | None = None, model_axis: int = 1) -> Mesh:
+def create_mesh(data_axis: int | None = None, model_axis: int = 1,
+                devices=None) -> Mesh:
     """1-D (or 2-D) mesh over all devices: ('data',) or ('data', 'model')."""
-    devices = np.array(jax.devices())
+    devices = np.array(jax.devices() if devices is None else devices)
     n = len(devices)
     if data_axis is None:
         data_axis = n // model_axis

@@ -59,7 +59,20 @@ class Trainer:
     def __init__(self, opt: dict):
         self.opt = opt
         maybe_initialize_distributed()
-        self.mesh = create_mesh()
+        # the data axis must divide the global batch; with fewer samples
+        # than chips (debug configs), shrink to the largest divisor rather
+        # than failing device_put (remaining chips idle, like torch DDP
+        # with world_size > batch would refuse)
+        n_dev = len(jax.devices())
+        gbs = int(opt["datasets"]["train"]["batch_size"]) \
+            if opt.get("datasets", {}).get("train") else n_dev
+        data_axis = math.gcd(n_dev, gbs)
+        if data_axis != n_dev:
+            logger.warning(
+                "global batch %d not divisible by %d devices; using a "
+                "%d-wide data axis", gbs, n_dev, data_axis)
+        self.mesh = create_mesh(data_axis=data_axis, model_axis=1,
+                                devices=jax.devices()[:data_axis])
 
         if is_main_process():
             for key in ("experiments_root", "models", "training_state",

@@ -64,8 +64,8 @@ def main():
     m = jnp.asarray(rng.uniform(size=(b, h, w, dg * 9)), jnp.bfloat16)
     wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 64)) * 0.1, jnp.bfloat16)
 
-    geoms = [(4, 32), (2, 64), (4, 64)]
-    folds = ["tree", "slices"]
+    geoms = [(4, 64), (2, 64), (2, 96), (4, 96)]
+    folds = ["bf16", "int32"]  # hat-build dtype this round; fold = slices
     for geom in geoms:
         for fold in folds:
             # off/m/wgt must be jit ARGUMENTS — closed-over they become HLO
@@ -75,7 +75,7 @@ def main():
                     x_, off_, m_, wgt_, None, padding=1,
                     deformable_groups=dg,
                     max_offset=r, block=geom, use_pallas="frame",
-                    frame_fold=fold, compute_dtype=jnp.bfloat16)
+                    frame_hat=fold, compute_dtype=jnp.bfloat16)
 
             try:
                 t0 = time.perf_counter()
