@@ -289,26 +289,30 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     return out
 
 
-def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
-                dt, interpret, fold="slices", hat="int32"):
-    """v8: halo slabs DMA'd in-kernel from 128-wide column panels; the
-    coordinates ship as fixed-point int16 (ly, lx) plus a bf16 mask — one
-    fused elementwise build + one relayout instead of the v7 f32 coords
-    stack that profiler-attributed at ~40 ms/full-res call (see
-    ops/pallas/dcn_frame_kernel.py)."""
-    from realvsr_tpu.ops.pallas.dcn_frame_kernel import dcn_frame_fused, fx_scales
+def _frame_geom(h, w, cpg, r, bh, bw):
+    h_pad = (-h) % bh
+    w_pad = (-w) % bw
+    return dict(
+        h_pad=h_pad, w_pad=w_pad,
+        nby=(h + h_pad) // bh, nbx=(w + w_pad) // bw,
+        ph=bh + 2 * r + 3, pw=bw + 2 * r + 3,
+        phr=-(-(bh + 2 * r + 3) * cpg // 16) * 16 // cpg)
+
+
+def _frame_prep(x, offset, mask, weight, *, dg, cpg, r, bh, bw, k, kw, dt):
+    """Kernel-input prep shared by forward and backward: halo column
+    panels, fixed-point int16 positions (one fused elementwise transform +
+    one relayout — the v7 f32 coords stack profiler-attributed at
+    ~40 ms/full-res call), bf16 mask in q-order, tap-GEMM weights."""
+    from realvsr_tpu.ops.pallas.dcn_frame_kernel import fx_scales
 
     b, h, w, cin = x.shape
     cout = weight.shape[-1]
-    h_pad = (-h) % bh
-    w_pad = (-w) % bw
-    nby = (h + h_pad) // bh
-    nbx = (w + w_pad) // bw
+    g = _frame_geom(h, w, cpg, r, bh, bw)
+    h_pad, w_pad, nby, nbx = g["h_pad"], g["w_pad"], g["nby"], g["nbx"]
+    ph, pw, phr = g["ph"], g["pw"], g["phr"]
     n_all = b * nby * nbx
-    ph = bh + 2 * r + 3
-    pw = bw + 2 * r + 3
     qn = bh * bw * k
-    phr = -(-ph * cpg // 16) * 16 // cpg  # slab rows, 16-aligned * cpg
     # padded frame with the halo origin and enough rows for phr slabs
     xg = jnp.pad(
         x.astype(dt),
@@ -322,9 +326,9 @@ def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
     xr = xr.reshape(b, hp2, dg, cpg, wp2).transpose(0, 2, 1, 3, 4)
     xr = xr.reshape(b, dg, hp2 * cpg, wp2)
     # overlapping column panels: stride bw, width 128 (lane-aligned DMA)
-    if wp2 < (nbx - 1) * bw + 128:
-        xr = jnp.pad(xr, ((0, 0),) * 3 +
-                     ((0, (nbx - 1) * bw + 128 - wp2),))
+    wfull = (nbx - 1) * bw + 128
+    if wp2 < wfull:
+        xr = jnp.pad(xr, ((0, 0),) * 3 + ((0, wfull - wp2),))
     xp = jnp.stack(
         [jax.lax.slice_in_dim(xr, bx * bw, bx * bw + 128, axis=3)
          for bx in range(nbx)], axis=2)  # (B, dg, nbx, Hp*cpg, 128)
@@ -347,7 +351,7 @@ def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
                    ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
     val = (jnp.clip(offp.astype(jnp.float32), -float(r), float(r)) + pos)
     fxp = jnp.round(val * scale).astype(jnp.int16)   # (b, hh, ww, dk2)
-    # one relayout → rows (g, comp) with q = (tap, y, x) tap-major
+    # one relayout -> rows (g, comp) with q = (tap, y, x) tap-major
     lyx = fxp.reshape(b, nby, bh, nbx, bw, dg, k, 2).transpose(
         0, 1, 3, 5, 7, 6, 2, 4).reshape(n_all, dg * 2, qn)
     if mask is None:
@@ -359,9 +363,124 @@ def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
             0, 1, 3, 5, 6, 2, 4).reshape(n_all, dg, qn)
     wt_g = weight.astype(dt).reshape(k, dg, cpg, cout).transpose(
         1, 0, 2, 3).reshape(dg * k * cpg, cout)
-    out = dcn_frame_fused(xp, lyx, m_q, wt_g, cpg=cpg, bh=bh, bw=bw,
-                          ph=ph, pw=pw, nby=nby, nbx=nbx, k=k, fold=fold,
-                          hat=hat, interpret=interpret)
+    return xp, lyx, m_q, wt_g, g, (hp2, wp2, wfull)
+
+
+def _fold_dpg(dpg, *, b, dg, cpg, bh, bw, r, h, w, geom, hp2, wp2, wfull,
+              out_dtype):
+    """Overlap-add the per-block halo-window cotangents back into dx —
+    the scatter-free equivalent of the reference's atomicAdd col2im
+    (deform_conv_cuda_kernel.cu:636-694)."""
+    nby, nbx, phr = geom["nby"], geom["nbx"], geom["phr"]
+    pc = phr * cpg
+    bc = bh * cpg
+    d6 = dpg.reshape(b, nby, nbx, dg, pc, 128).astype(jnp.float32)
+    d6 = d6.transpose(0, 1, 3, 4, 2, 5)  # (b, nby, dg, pc, nbx, 128)
+    # columns: panel bx covers absolute cols [bx*bw, bx*bw + 128)
+    acc = jnp.zeros((b, nby, dg, pc, wfull), jnp.float32)
+    for bx in range(nbx):
+        acc = jax.lax.dynamic_update_slice_in_dim(
+            acc,
+            jax.lax.dynamic_slice_in_dim(acc, bx * bw, 128, axis=4)
+            + d6[:, :, :, :, bx], bx * bw, axis=4)
+    # rows: block by covers absolute rows [by*bc, by*bc + pc)
+    hfull = (nby - 1) * bc + pc
+    dxr = jnp.zeros((b, dg, hfull, wfull), jnp.float32)
+    nqy = -(-pc // bc)
+    for qy in range(nqy):
+        sh_ = min(bc, pc - qy * bc)
+        sl = acc[:, :, :, qy * bc:qy * bc + sh_]      # (b, nby, dg, sh, W)
+        if sh_ < bc:
+            sl = jnp.pad(sl, ((0, 0),) * 3 + ((0, bc - sh_), (0, 0)))
+        sl = sl.transpose(0, 2, 1, 3, 4).reshape(b, dg, nby * bc, wfull)
+        cur = jax.lax.dynamic_slice_in_dim(dxr, qy * bc, nby * bc, axis=2)
+        dxr = jax.lax.dynamic_update_slice_in_dim(dxr, cur + sl,
+                                                  qy * bc, axis=2)
+    # back through the panel/row layout to the padded frame, then unpad
+    dxr = jnp.pad(dxr, ((0, 0), (0, 0), (0, hp2 * cpg - hfull), (0, 0)))
+    dxr = dxr[:, :, :, :wp2]
+    dxg = dxr.reshape(b, dg, hp2, cpg, wp2).transpose(0, 2, 1, 3, 4)
+    dxg = dxg.reshape(b, hp2, dg * cpg, wp2)
+    dxg = jnp.swapaxes(dxg, 2, 3)                    # (b, hp2, wp2, cin)
+    return dxg[:, r + 1:r + 1 + h, r + 1:r + 1 + w].astype(out_dtype)
+
+
+def _fold_dcoord(dcrd, offset, mask, *, b, dg, k, kw, r, bh, bw, h, w, geom):
+    """dcrd (n, dg*3, q) f32 -> (doffset, dmask) in the input layouts.
+    Position quantization is straight-through; the clip gates the offset
+    gradient exactly like jnp.clip's VJP (pass on [-r, r] inclusive)."""
+    nby, nbx = geom["nby"], geom["nbx"]
+    hh, ww = nby * bh, nbx * bw
+    n_all = b * nby * nbx
+    dk2 = dg * k * 2
+    d8 = dcrd.reshape(b, nby, nbx, dg, 3, k, bh, bw)
+    dyx = d8[:, :, :, :, 0:2]
+    # inverse of the forward (0,1,3,5,7,6,2,4) relayout
+    dyx = dyx.transpose(0, 1, 6, 2, 7, 3, 5, 4).reshape(b, hh, ww, dk2)
+    dyx = dyx[:, :h, :w]
+    off_b = offset.reshape(b, h, w, dk2).astype(jnp.float32)
+    gate = (off_b >= -float(r)) & (off_b <= float(r))
+    doff = jnp.where(gate, dyx, 0.0).astype(offset.dtype).reshape(
+        offset.shape)
+    dm8 = d8[:, :, :, :, 2:3]
+    dm = dm8.transpose(0, 1, 6, 2, 7, 3, 5, 4).reshape(b, hh, ww, dg * k)
+    dm = dm[:, :h, :w]
+    dmask = None if mask is None else dm.astype(mask.dtype).reshape(
+        mask.shape)
+    return doff, dmask
+
+
+def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
+                dt, interpret, fold="slices", hat="int32"):
+    """v8 fused Pallas frame-DMA DCN with a custom VJP: the backward is a
+    transposed Pallas kernel (ops/pallas/dcn_frame_kernel.py
+    dcn_frame_fused_bwd) that recomputes the sampling per block instead of
+    saving padded intermediates — this is what lets 192^2 batch-8 training
+    fit (the XLA block path's saved residuals lane-pad 4-8x,
+    PERF_NOTES.md round-2)."""
+    from realvsr_tpu.ops.pallas.dcn_frame_kernel import (
+        dcn_frame_fused, dcn_frame_fused_bwd)
+
+    b, h, w, cin = x.shape
+    cout = weight.shape[-1]
+    qn = bh * bw * k
+    geom = _frame_geom(h, w, cpg, r, bh, bw)
+    statics = dict(dg=dg, cpg=cpg, r=r, bh=bh, bw=bw, k=k, kw=kw, dt=dt)
+
+    @jax.custom_vjp
+    def core(x_, off_, m_, w_):
+        xp, lyx, m_q, wt_g, g, _ = _frame_prep(x_, off_, m_, w_, **statics)
+        return dcn_frame_fused(
+            xp, lyx, m_q, wt_g, cpg=cpg, bh=bh, bw=bw, ph=g["ph"],
+            pw=g["pw"], nby=g["nby"], nbx=g["nbx"], k=k, fold=fold,
+            hat=hat, interpret=interpret)
+
+    def core_fwd(x_, off_, m_, w_):
+        return core(x_, off_, m_, w_), (x_, off_, m_, w_)
+
+    def core_bwd(res, gout):
+        x_, off_, m_, w_ = res
+        xp, lyx, m_q, wt_g, g, (hp2, wp2, wfull) = _frame_prep(
+            x_, off_, m_, w_, **statics)
+        dpg, dcrd, dw = dcn_frame_fused_bwd(
+            xp, lyx, m_q, wt_g, gout.astype(dt), cpg=cpg, bh=bh, bw=bw,
+            ph=g["ph"], pw=g["pw"], nby=g["nby"], nbx=g["nbx"], k=k,
+            interpret=interpret)
+        dx = _fold_dpg(dpg, b=b, dg=dg, cpg=cpg, bh=bh, bw=bw, r=r, h=h,
+                       w=w, geom=g, hp2=hp2, wp2=wp2, wfull=wfull,
+                       out_dtype=x_.dtype)
+        doff, dmask = _fold_dcoord(dcrd, off_, m_, b=b, dg=dg, k=k, kw=kw,
+                                   r=r, bh=bh, bw=bw, h=h, w=w, geom=g)
+        dweight = dw.reshape(dg, k, cpg, cout).transpose(1, 0, 2, 3) \
+            .reshape(w_.shape).astype(w_.dtype)
+        if dmask is None:
+            dmask = jnp.zeros_like(m_)
+        return dx, doff, dmask, dweight
+
+    core.defvjp(core_fwd, core_bwd)
+    mask_in = (mask if mask is not None
+               else jnp.ones((b, h, w, dg * k), x.dtype))
+    out = core(x, offset, mask_in, weight)
     out = out[:, :h, :w]
     if bias is not None:
         out = out + bias.astype(dt)

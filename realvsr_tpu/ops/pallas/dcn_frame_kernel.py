@@ -115,14 +115,12 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref,
         mask = m_ref[0, g:g + 1, :].astype(dt)
         y0h = y0i.astype(hat_t)
         x0h = x0i.astype(hat_t)
-        # fold the mask into the two lerp weights ((1, q) ops) instead of
-        # multiplying the whole (pw, q) hat matrix by it
-        ax = (1 - tx) * mask
-        bx = tx * mask
         wy_ref[:, :] = ((io_ph == y0h).astype(dt) * (1 - ty)
                         + (io_ph == y0h + 1).astype(dt) * ty)
-        wx_ref[0:pw_built, :] = ((io_qh == x0h).astype(dt) * ax
-                                 + (io_qh == x0h + 1).astype(dt) * bx)
+        # hats are UNMASKED; the mask multiplies the folded samples ((cpg,
+        # q) op) — the backward kernel needs the unmasked samples for dmask
+        wx_ref[0:pw_built, :] = ((io_qh == x0h).astype(dt) * (1 - tx)
+                                 + (io_qh == x0h + 1).astype(dt) * tx)
         pg = slab_ref[slot, g].reshape(phr * cpg, 128)
         h = jnp.dot(pg, wx_ref[:, :],
                     preferred_element_type=jnp.float32).astype(dt)
@@ -142,6 +140,7 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref,
             s = h[0:cpg, :] * wy_ref[0:1, :]
             for pp in range(1, phr):
                 s = s + h[pp * cpg:(pp + 1) * cpg, :] * wy_ref[pp:pp + 1, :]
+        s = s * mask
         for kk in range(k):
             row = (g * k + kk) * cpg
             s_ref[row:row + cpg, :] = s[:, kk * p:(kk + 1) * p]
@@ -214,3 +213,213 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
         interpret=interpret,
     )(lyx.reshape(n_all, dg * 2, q), m, xp, wt)
     return out
+
+
+# --------------------------------------------------------------- backward
+#
+# Training backward for the frame kernel (replaces the reference's
+# atomicAdd col2im / col2im_coord CUDA kernels,
+# deform_conv_cuda_kernel.cu:636-773, with a transposed formulation that
+# chooses its own residual layouts): per block, recompute the forward
+# sampling (cheaper than saving the 4-8x-padded intermediates that made
+# the XLA block path OOM at batch 8, PERF_NOTES round-2), then
+#
+#   dS  = W @ G^T                      (tap-GEMM transpose, MXU)
+#   dW += S @ G                        (accumulated across the whole grid)
+#   dh  = (dS*m) (x) wy               (outer expansion on the VPU)
+#   dpg = dh @ wx^T                    (sampling-matmul transpose, MXU)
+#   dty = sum_c (dS*m) * fold(h, wy')  (derivative vertical hat)
+#   dtx = sum_c (dS*m) * fold(pg@wx', wy)
+#   dm  = sum_c  dS    * fold(h, wy)   (unmasked samples)
+#
+# dpg leaves the kernel in non-overlapping block-strided form; the XLA
+# epilogue overlap-adds the halo windows back into the frame (the
+# scatter-free equivalent of the CUDA atomicAdd loop).
+
+
+def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
+                dw_ref, slab_ref, wx_ref, wy_ref, h_ref, s_ref, sem_ref, *,
+                p, k, dg, cpg, ph, pw, bh, nby, nbx, ly2, lx2):
+    dt = slab_ref.dtype
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    phr = slab_ref.shape[2] // cpg
+    pw_built = _round_up(pw, 16)
+
+    def slab_dma(slot, blk):
+        b = blk // (nby * nbx)
+        r = blk % (nby * nbx)
+        by = r // nbx
+        bx = r % nbx
+        return pltpu.make_async_copy(
+            xp_ref.at[b, :, bx, pl.ds(by * bh * cpg, phr * cpg), :],
+            slab_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        wx_ref[:, :] = jnp.zeros_like(wx_ref)
+        dw_ref[:, :] = jnp.zeros_like(dw_ref)
+        slab_dma(0, i).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        slab_dma((i + 1) % 2, i + 1).start()
+
+    slab_dma(i % 2, i).wait()
+    slot = i % 2
+
+    io_q = jax.lax.broadcasted_iota(jnp.int32, (pw_built, 1), 0)
+    io_p = jax.lax.broadcasted_iota(jnp.int32, (phr, 1), 0)
+    gout = g_ref[0].reshape(p, g_ref.shape[-1])
+    # dS = W @ G^T: (K, p)
+    dS = jax.lax.dot_general(
+        wt_ref[:, :], gout, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt)
+
+    def fold(hm, w):
+        s = hm[0:cpg, :] * w[0:1, :]
+        for pp in range(1, phr):
+            s = s + hm[pp * cpg:(pp + 1) * cpg, :] * w[pp:pp + 1, :]
+        return s
+
+    def csum(v):
+        # sum over the cpg sublane rows -> (1, q)
+        rows = cpg
+        while rows > 1:
+            rows //= 2
+            v = v[0:rows, :] + v[rows:2 * rows, :]
+        return v
+
+    for g in range(dg):
+        lyi = lyx_ref[0, 2 * g:2 * g + 1, :].astype(jnp.int32)
+        lxi = lyx_ref[0, 2 * g + 1:2 * g + 2, :].astype(jnp.int32)
+        y2c, x2c = jnp.int32(ly2), jnp.int32(lx2)
+        y0i = jax.lax.shift_right_logical(lyi, y2c)
+        ty = (lyi - jax.lax.shift_left(y0i, y2c)).astype(dt) * (2.0 ** -ly2)
+        x0i = jax.lax.shift_right_logical(lxi, x2c)
+        tx = (lxi - jax.lax.shift_left(x0i, x2c)).astype(dt) * (2.0 ** -lx2)
+        mask = m_ref[0, g:g + 1, :].astype(dt)
+        e0y = (io_p == y0i).astype(dt)
+        e1y = (io_p == y0i + 1).astype(dt)
+        wy_ref[:, :] = e0y * (1 - ty) + e1y * ty
+        wx_ref[0:pw_built, :] = ((io_q == x0i).astype(dt) * (1 - tx)
+                                 + (io_q == x0i + 1).astype(dt) * tx)
+        pg = slab_ref[slot, g].reshape(phr * cpg, 128)
+        h_ref[:, :] = jnp.dot(pg, wx_ref[:, :],
+                              preferred_element_type=jnp.float32).astype(dt)
+        h = h_ref[:, :]
+        s_nm = fold(h, wy_ref[:, :])          # unmasked samples (cpg, q)
+        sy = fold(h, e1y - e0y)               # d/d ty samples
+
+        # ds rows for this group: (cpg, q) from the (K, p) tap-GEMM grad
+        ds_cols = []
+        for kk in range(k):
+            row = (g * k + kk) * cpg
+            ds_cols.append(dS[row:row + cpg, :])
+        ds = jnp.concatenate(ds_cols, axis=1)  # (cpg, q) q tap-major
+        dsm = ds * mask
+
+        dcrd_ref[0, 3 * g:3 * g + 1, :] = csum(dsm * sy).astype(jnp.float32)
+        dcrd_ref[0, 3 * g + 2:3 * g + 3, :] = csum(
+            ds * s_nm).astype(jnp.float32)
+
+        # masked samples into s_ref for the dW GEMM
+        s_m = s_nm * mask
+        for kk in range(k):
+            row = (g * k + kk) * cpg
+            s_ref[row:row + cpg, :] = s_m[:, kk * p:(kk + 1) * p]
+
+        # dh = dsm (x) wy, overwriting h (no longer needed)
+        for pp in range(phr):
+            h_ref[pp * cpg:(pp + 1) * cpg, :] = dsm * wy_ref[pp:pp + 1, :]
+        dpg_ref[0, g] = jax.lax.dot_general(
+            h_ref[:, :], wx_ref[:, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt).reshape(
+                dpg_ref.shape[2:])
+
+        # d/d tx: horizontal derivative hat, reusing wx_ref storage
+        wx_ref[0:pw_built, :] = ((io_q == x0i + 1).astype(dt)
+                                 - (io_q == x0i).astype(dt))
+        hx = jnp.dot(pg, wx_ref[:, :],
+                     preferred_element_type=jnp.float32).astype(dt)
+        sx = fold(hx, wy_ref[:, :])
+        dcrd_ref[0, 3 * g + 1:3 * g + 2, :] = csum(dsm * sx).astype(
+            jnp.float32)
+        # restore the plain hat for the next group's zero tail (tail rows
+        # were zeroed once at i==0 and never written above pw_built)
+
+    dw_ref[:, :] += jax.lax.dot_general(
+        s_ref[:, :], gout, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def dcn_frame_fused_bwd(xp, lyx, m, wt, gout, *, cpg, bh, bw, ph, pw,
+                        nby, nbx, k=9, interpret=False):
+    """Backward pass: returns (dpg_blocks, dcoord, dW).
+
+    dpg_blocks (n, dg, phr*cpg, 128): per-block halo-window cotangents in
+    the slab layout (fold back with the XLA overlap-add epilogue).
+    dcoord (n, dg*3, q) f32: rows (3g, 3g+1, 3g+2) = (d ty, d tx, d mask).
+    dW (dg*k*cpg, cout) f32 in the tap-GEMM layout.
+    """
+    b_, dg, nbx_, hpc, lanes = xp.shape
+    assert nbx_ == nbx and lanes == 128
+    cout = wt.shape[-1]
+    n_all, dg2, q = lyx.shape
+    p = q // k
+    fy, fx = fx_scales(ph, pw)
+    ly2, lx2 = fy.bit_length() - 1, fx.bit_length() - 1
+    phr = _round_up(ph * cpg, 16) // cpg
+    dt = xp.dtype
+    nbyx = nby * nbx
+
+    def blk_index(i):
+        return (i // nbyx, (i % nbyx) // nbx, i % nbx, 0)
+
+    kern = functools.partial(_bwd_kernel, p=p, k=k, dg=dg, cpg=cpg, ph=ph,
+                             pw=pw, bh=bh, nby=nby, nbx=nbx,
+                             ly2=ly2, lx2=lx2)
+    dpg, dcrd, dw = pl.pallas_call(
+        kern,
+        grid=(n_all,),
+        in_specs=[
+            pl.BlockSpec((1, dg * 2, q), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dg, q), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((dg * k * cpg, cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, bw, cout), blk_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, dg, phr * cpg, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dg * 3, q), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dg * k * cpg, cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_all, dg, phr * cpg, 128), dt),
+            jax.ShapeDtypeStruct((n_all, dg * 3, q), jnp.float32),
+            jax.ShapeDtypeStruct((dg * k * cpg, cout), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, dg, phr * cpg, 128), dt),
+            pltpu.VMEM((128, q), dt),
+            pltpu.VMEM((phr, q), dt),
+            pltpu.VMEM((phr * cpg, q), dt),
+            pltpu.VMEM((dg * k * cpg, p), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n_all * dg * (q * 128 * phr * cpg),
+            bytes_accessed=n_all * dg * phr * cpg * 128 * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(lyx.reshape(n_all, dg * 2, q), m, xp, wt, gout)
+    return dpg, dcrd, dw

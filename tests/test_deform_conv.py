@@ -218,3 +218,64 @@ class TestPallasFusedKernel:
         # v8 ships fixed-point int16 coordinates (>=1/256-px resolution) —
         # position quantization bounds the sampled-value error at ~5e-3
         np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=8e-3)
+
+
+@pytest.mark.slow
+class TestFrameKernelVJP:
+    def test_frame_vjp_matches_block_autodiff(self):
+        """Custom-VJP Pallas backward (dcn_frame_fused_bwd) vs autodiff of
+        the XLA block path.  Offsets quantized to 1/256 px so the kernel's
+        int16 fixed-point positions are exact and gradients comparable to
+        f32 round-off (replaces deform_conv_cuda_kernel.cu:636-773)."""
+        from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
+
+        rng = np.random.default_rng(5)
+        b, h, w, cin, dgq, r = 1, 12, 20, 16, 2, 3
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+        off = jnp.asarray(
+            np.round(np.clip(rng.normal(size=(b, h, w, dgq * 18)) * 2,
+                             -r + .2, r - .2) * 256) / 256, jnp.float32)
+        m = jnp.asarray(rng.uniform(size=(b, h, w, dgq * 9)), jnp.float32)
+        wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 8)) * 0.2, jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+        gseed = jnp.asarray(rng.normal(size=(b, h, w, 8)), jnp.float32)
+
+        def loss(use_frame):
+            def f(x, off, m, wgt, bias):
+                o = modulated_deform_conv_block(
+                    x, off, m, wgt, bias, 1, dgq, max_offset=r,
+                    use_pallas="frame" if use_frame else False,
+                    pallas_interpret=use_frame)
+                return jnp.sum(o * gseed)
+            return f
+
+        gb = jax.grad(loss(False), argnums=(0, 1, 2, 3, 4))(
+            x, off, m, wgt, bias)
+        gf = jax.grad(loss(True), argnums=(0, 1, 2, 3, 4))(
+            x, off, m, wgt, bias)
+        for name, a, b_ in zip(["dx", "doff", "dmask", "dw", "dbias"],
+                               gb, gf):
+            sc = max(1e-6, float(np.abs(np.asarray(a)).max()))
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a), atol=5e-6 * sc,
+                err_msg=name)
+
+    def test_frame_vjp_clip_gate(self):
+        """Offsets beyond the clamp get zero gradient (jnp.clip VJP)."""
+        from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
+
+        rng = np.random.default_rng(6)
+        b, h, w, cin, dgq, r = 1, 8, 8, 8, 1, 2
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+        off = jnp.full((b, h, w, dgq * 18), 5.0, jnp.float32)  # all clamped
+        m = jnp.asarray(rng.uniform(size=(b, h, w, dgq * 9)), jnp.float32)
+        wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 8)) * 0.2, jnp.float32)
+
+        def f(off):
+            o = modulated_deform_conv_block(
+                x, off, m, wgt, None, 1, dgq, max_offset=r,
+                use_pallas="frame", pallas_interpret=True)
+            return jnp.sum(o ** 2)
+
+        doff = jax.grad(f)(off)
+        np.testing.assert_array_equal(np.asarray(doff), 0.0)
