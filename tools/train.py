@@ -18,10 +18,11 @@ def main():
     parser.add_argument("-opt", type=str, required=True,
                         help="Path to option YAML file.")
     parser.add_argument("--dcn_impl", type=str, default=None,
-                        choices=["columns", "tap_loop", "block"],
-                        help="DCN implementation override (block = fast, "
-                             "offsets clamped to ±8 px; the 'frame' Pallas "
-                             "kernel is forward-only and rejected here)")
+                        choices=["columns", "tap_loop", "block", "frame"],
+                        help="DCN implementation override. 'frame' = fused "
+                             "Pallas kernel with a custom-VJP backward "
+                             "(fastest; offsets clamped to ±8 px; enables "
+                             "192^2 batch-8/chip training)")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (e.g. cpu for smoke runs).")
     parser.add_argument("--profile", action="store_true",
