@@ -58,14 +58,62 @@ def fx_scales(ph: int, pw: int) -> tuple[int, int]:
     return pick(ph), pick(pw)
 
 
-def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref,
-            wy_ref, s_ref, sem_ref, *, p, k, dg, cpg, ph, pw, bh, nby, nbx,
-            ly2, lx2, fold, hat):
+def _decode_all(lyx_block, ly2, lx2, dt):
+    """Fixed-point decode for ALL groups at once: (2*dg, q) int16 ->
+    (floors int32, fractions dt).  Row-interleaved shifts (y rows use ly2,
+    x rows lx2) via a per-row constant vector — one set of (16, q) ops
+    instead of per-group (1, q) ops."""
+    rows = lyx_block.shape[0]
+    li = lyx_block[:, :].astype(jnp.int32)
+    # row parity as int arithmetic (a (rows, 1) bool broadcast trips a
+    # Mosaic relayout bug: "Non-singleton logical dimension is replicated")
+    par = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % 2
+    sh = jnp.int32(ly2) + (jnp.int32(lx2) - jnp.int32(ly2)) * par
+    q0 = jax.lax.shift_right_logical(li, sh)
+    frac = (li - jax.lax.shift_left(q0, sh)).astype(dt)
+    sy, sx = 2.0 ** -ly2, 2.0 ** -lx2
+    scale = (jnp.asarray(sy, dt)
+             + jnp.asarray(sx - sy, dt) * par.astype(dt))
+    return q0, frac * scale
+
+
+def _hats(q0, frac, g, io_q, io_p, ph, pw, phr, dt, use_roll):
+    """One-hot lerp hats for group g as SSA VALUES (no scratch refs — ref
+    reuse across the group loop serializes VPU builds against the previous
+    group's MXU reads and blocks software pipelining).  Select-form build:
+    2 int compares + 2 selects per matrix; wx is built on pw_built rows
+    and zero-extended to the 128-lane contraction depth (K <= 128 costs
+    the same MXU time, and zero rows keep the matmul exact)."""
+    y0i = q0[2 * g:2 * g + 1, :]
+    ty = frac[2 * g:2 * g + 1, :]
+    x0i = q0[2 * g + 1:2 * g + 2, :]
+    tx = frac[2 * g + 1:2 * g + 2, :]
+    # tent form: hat(j) = relu(1 - |(j - floor) - frac|).  The integer
+    # row distance converts to the feature dtype exactly (small ints), and
+    # the only rows where bf16 rounding could matter (|d - t| < 1, i.e.
+    # d in {0, 1}) are exact because fractions are multiples of 2^-8.
+    # One int sub + convert + 3 bf16 ops vs 2 int32 compares + 2 converts
+    # + lerp (this VPU has no 16-bit compares and its i1 masks cannot
+    # relayout into bf16 selects — both Mosaic-verified).
+    one = jnp.asarray(1.0, dt)
+    dyf = (io_p - y0i).astype(dt)
+    wy = jnp.maximum(one - jnp.abs(dyf - ty), 0)
+    dxf = (io_q - x0i).astype(dt)
+    wx = jnp.maximum(one - jnp.abs(dxf - tx), 0)
+    pw_built = io_q.shape[0]
+    if pw_built < 128:
+        wx = jnp.concatenate(
+            [wx, jnp.zeros((128 - pw_built, wx.shape[1]), dt)], axis=0)
+    return wy, wx
+
+
+def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, s_ref,
+            sem_ref, *, p, k, dg, cpg, ph, pw, bh, nby, nbx,
+            ly2, lx2, fold, hat, use_roll):
     dt = out_ref.dtype
     i = pl.program_id(0)
     n = pl.num_programs(0)
     phr = slab_ref.shape[2] // cpg
-    pw_built = _round_up(pw, 16)
 
     def slab_dma(slot, blk):
         b = blk // (nby * nbx)
@@ -80,8 +128,6 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref,
 
     @pl.when(i == 0)
     def _():
-        # zero the hat-weight tail rows once; groups only write [0, built)
-        wx_ref[:, :] = jnp.zeros_like(wx_ref)
         slab_dma(0, i).start()
 
     @pl.when(i + 1 < n)
@@ -91,44 +137,26 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref,
     slab_dma(i % 2, i).wait()
     slot = i % 2
 
-    hat_t = jnp.int32 if hat == "int32" else dt
+    pw_built = _round_up(pw, 16)
     io_q = jax.lax.broadcasted_iota(jnp.int32, (pw_built, 1), 0)
-    if fold == "tree":
-        # row r of the expanded hats corresponds to patch row r // cpg
-        io_pe = jax.lax.broadcasted_iota(jnp.int32, (phr * cpg, 1), 0) // cpg
-    else:
-        io_pe = jax.lax.broadcasted_iota(jnp.int32, (phr, 1), 0)
-    # the iota-vs-floor compares can run in the feature dtype: indices are
-    # small integers, exact in bf16, and bf16 VPU ops process 2x the rows
-    # of int32 per tile
-    io_qh = io_q.astype(hat_t)
-    io_ph = io_pe.astype(hat_t)
+    io_p = jax.lax.broadcasted_iota(jnp.int32, (phr, 1), 0)
+    q0, frac = _decode_all(lyx_ref[0], ly2, lx2, dt)
     for g in range(dg):
-        # integer fixed-point -> (floor, fraction): exact, no f32 rounding
-        lyi = lyx_ref[0, 2 * g:2 * g + 1, :].astype(jnp.int32)
-        lxi = lyx_ref[0, 2 * g + 1:2 * g + 2, :].astype(jnp.int32)
-        y2c, x2c = jnp.int32(ly2), jnp.int32(lx2)
-        y0i = jax.lax.shift_right_logical(lyi, y2c)
-        ty = (lyi - jax.lax.shift_left(y0i, y2c)).astype(dt) * (2.0 ** -ly2)
-        x0i = jax.lax.shift_right_logical(lxi, x2c)
-        tx = (lxi - jax.lax.shift_left(x0i, x2c)).astype(dt) * (2.0 ** -lx2)
+        wy, wx = _hats(q0, frac, g, io_q, io_p, ph, pw, phr, dt, use_roll)
         mask = m_ref[0, g:g + 1, :].astype(dt)
-        y0h = y0i.astype(hat_t)
-        x0h = x0i.astype(hat_t)
-        wy_ref[:, :] = ((io_ph == y0h).astype(dt) * (1 - ty)
-                        + (io_ph == y0h + 1).astype(dt) * ty)
-        # hats are UNMASKED; the mask multiplies the folded samples ((cpg,
-        # q) op) — the backward kernel needs the unmasked samples for dmask
-        wx_ref[0:pw_built, :] = ((io_qh == x0h).astype(dt) * (1 - tx)
-                                 + (io_qh == x0h + 1).astype(dt) * tx)
         pg = slab_ref[slot, g].reshape(phr * cpg, 128)
-        h = jnp.dot(pg, wx_ref[:, :],
+        h = jnp.dot(pg, wx,
                     preferred_element_type=jnp.float32).astype(dt)
         if fold == "tree":
-            # one full-tile multiply + contiguous halving adds (rows are
-            # (pp, c)-major: adding the halves folds pp pairs); when phr is
-            # not a power of two the tail folds with strided slices
-            x = h * wy_ref[:, :]
+            # expanded tent at (phr*cpg, q) + contiguous halving adds
+            # (measured SLOWER than the strided slices fold: the (phr*cpg,
+            # q) build+multiply outweighs the half-tile FMA penalty)
+            ty = frac[2 * g:2 * g + 1, :]
+            io_pe = jax.lax.broadcasted_iota(
+                jnp.int32, (phr * cpg, 1), 0) // cpg
+            dyf = (io_pe - q0[2 * g:2 * g + 1, :]).astype(dt)
+            wye = jnp.maximum(1 - jnp.abs(dyf - ty), 0)
+            x = h * wye
             rows = phr * cpg
             while rows > cpg and rows % (2 * cpg) == 0:
                 rows //= 2
@@ -137,9 +165,9 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, wx_ref,
             for pp in range(1, rows // cpg):
                 s = s + x[pp * cpg:(pp + 1) * cpg, :]
         else:
-            s = h[0:cpg, :] * wy_ref[0:1, :]
+            s = h[0:cpg, :] * wy[0:1, :]
             for pp in range(1, phr):
-                s = s + h[pp * cpg:(pp + 1) * cpg, :] * wy_ref[pp:pp + 1, :]
+                s = s + h[pp * cpg:(pp + 1) * cpg, :] * wy[pp:pp + 1, :]
         s = s * mask
         for kk in range(k):
             row = (g * k + kk) * cpg
@@ -175,14 +203,14 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
 
     kern = functools.partial(_kernel, p=p, k=k, dg=dg, cpg=cpg, ph=ph,
                              pw=pw, bh=bh, nby=nby, nbx=nbx,
-                             ly2=ly2, lx2=lx2, fold=fold, hat=hat)
+                             ly2=ly2, lx2=lx2, fold=fold, hat=hat,
+                             use_roll=False)  # Mosaic: no bf16 rotate
     flops = 2 * n_all * dg * (q * 128 * phr * cpg) + 2 * n_all * p * wt.size
     nbyx = nby * nbx
 
     def out_index(i):
         return (i // nbyx, (i % nbyx) // nbx, i % nbx, 0)
 
-    wy_rows = phr * cpg if fold == "tree" else phr
     out = pl.pallas_call(
         kern,
         grid=(n_all,),
@@ -200,8 +228,6 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b_, nby * bh, nbx * bw, cout), dt),
         scratch_shapes=[
             pltpu.VMEM((2, dg, phr * cpg, 128), dt),
-            pltpu.VMEM((128, q), dt),
-            pltpu.VMEM((wy_rows, q), dt),
             pltpu.VMEM((dg * k * cpg, p), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
