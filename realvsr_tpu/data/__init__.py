@@ -23,6 +23,11 @@ def create_dataset(dataset_opt: dict):
         from realvsr_tpu.data.synthetic import SyntheticVSRDataset as D
     elif mode == "SyntheticTest":
         from realvsr_tpu.data.synthetic import SyntheticVideoTestDataset as D
+    elif mode == "SyntheticMotion":
+        from realvsr_tpu.data.synthetic import SyntheticMotionVSRDataset as D
+    elif mode == "SyntheticMotionTest":
+        from realvsr_tpu.data.synthetic import (
+            SyntheticMotionVideoTestDataset as D)
     else:
         raise NotImplementedError(f"Dataset [{mode}] is not recognized.")
     return D(dataset_opt)

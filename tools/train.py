@@ -23,6 +23,9 @@ def main():
                              "Pallas kernel with a custom-VJP backward "
                              "(fastest; offsets clamped to ±8 px; enables "
                              "192^2 batch-8/chip training)")
+    parser.add_argument("--dcn_max_offset", type=int, default=None,
+                        help="±R clamp for the block/frame DCN paths "
+                             "(default 8; the clamp-validation run uses 16)")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (e.g. cpu for smoke runs).")
     parser.add_argument("--profile", action="store_true",
@@ -43,7 +46,7 @@ def main():
     if args.dcn_impl:
         from realvsr_tpu.ops.deform_conv import set_default_impl
 
-        set_default_impl(args.dcn_impl)
+        set_default_impl(args.dcn_impl, block_max_offset=args.dcn_max_offset)
 
     opt = parse(args.opt, is_train=True)
     trainer = Trainer(opt)
