@@ -170,23 +170,24 @@ class _EDVRBase(nn.Module):
     def center_idx(self) -> int:
         return self.nframes // 2 if self.center is None else self.center
 
-    def extract_and_align(self, x):
-        """x: (B, N, H, W, C) → fused features (B, H', W', nf)."""
-        b, n, h, w, c = x.shape
-        nf, dt = self.nf, self.dtype
-        x_flat = x.reshape(b * n, h, w, c)
+    def front_pyramid(self, x_flat):
+        """Per-frame 3-level feature pyramid (frames folded into batch).
 
+        Split out from :meth:`extract_and_align` so streaming video
+        inference (eval/streaming.py) can run it once per NEW frame and
+        reuse the result across the N sliding windows that contain the
+        frame — outputs are bitwise the recomputation the reference's
+        per-window loop performs (test_RealVSR_wi_GT.py:116-119).
+        """
+        nf, dt = self.nf, self.dtype
         if self.predeblur:
             l1 = PredeblurResNetPyramid(nf=nf, hr_in=self.HR_in, dtype=dt,
                                         name="pre_deblur")(x_flat)
             l1 = Conv2d(nf, 1, padding=0, dtype=dt, name="conv_1x1")(l1)
-            if self.HR_in:
-                h, w = h // 4, w // 4
         elif self.HR_in:
             l1 = lrelu(Conv2d(nf, 3, dtype=dt, name="conv_first_1")(x_flat))
             l1 = lrelu(Conv2d(nf, 3, 2, dtype=dt, name="conv_first_2")(l1))
             l1 = lrelu(Conv2d(nf, 3, 2, dtype=dt, name="conv_first_3")(l1))
-            h, w = h // 4, w // 4
         else:
             l1 = lrelu(Conv2d(nf, 3, dtype=dt, name="conv_first")(x_flat))
         BlocksT = nn.checkpoint(Blocks) if self.remat else Blocks
@@ -196,6 +197,17 @@ class _EDVRBase(nn.Module):
         l2 = lrelu(Conv2d(nf, 3, dtype=dt, name="fea_L2_conv2")(l2))
         l3 = lrelu(Conv2d(nf, 3, 2, dtype=dt, name="fea_L3_conv1")(l2))
         l3 = lrelu(Conv2d(nf, 3, dtype=dt, name="fea_L3_conv2")(l3))
+        return l1, l2, l3
+
+    def extract_and_align(self, x):
+        """x: (B, N, H, W, C) → fused features (B, H', W', nf)."""
+        b, n, h, w, c = x.shape
+        nf, dt = self.nf, self.dtype
+        x_flat = x.reshape(b * n, h, w, c)
+
+        l1, l2, l3 = self.front_pyramid(x_flat)
+        if self.HR_in:
+            h, w = h // 4, w // 4
 
         # PCD align, batched over the N frames (replaces the reference's
         # per-frame Python loop, EDVR_arch.py:297-303).
@@ -206,6 +218,13 @@ class _EDVRBase(nn.Module):
 
         l1v, l2v, l3v = (levels(l1, h, w), levels(l2, h // 2, w // 2),
                          levels(l3, h // 4, w // 4))
+        return self.align_fuse(l1v, l2v, l3v)
+
+    def align_fuse(self, l1v, l2v, l3v):
+        """PCD alignment + fusion from stacked pyramids (B, N, h, w, nf)."""
+        b, n, h, w, nf = l1v.shape
+        dt = self.dtype
+        ctr = self.center_idx
         nbr = [l1v.reshape(b * n, h, w, nf),
                l2v.reshape(b * n, h // 2, w // 2, nf),
                l3v.reshape(b * n, h // 4, w // 4, nf)]
@@ -259,10 +278,21 @@ class EDVRNoUp(_EDVRBase):
     """
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mode: str = "full"):
+        """mode: "full" — (B, N, H, W, C) window → frame;
+        "pyramid" — (B, H, W, C) frames → per-frame feature pyramid;
+        "fuse" — (l1v, l2v, l3v, x_center) cached pyramids → frame.
+        The split modes power streaming video inference
+        (eval/streaming.py) with outputs identical to "full"."""
         dt = self.dtype
-        x_center = x[:, self.center_idx]
-        fea = self.extract_and_align(x)
+        if mode == "pyramid":
+            return self.front_pyramid(x)
+        if mode == "fuse":
+            l1v, l2v, l3v, x_center = x
+            fea = self.align_fuse(l1v, l2v, l3v)
+        else:
+            x_center = x[:, self.center_idx]
+            fea = self.extract_and_align(x)
         BlocksT = nn.checkpoint(Blocks) if self.remat else Blocks
         out = BlocksT(ResidualBlockNoBN, self.back_RBs,
                       dict(nf=self.nf, dtype=dt), name="recon_trunk")(fea)

@@ -42,7 +42,8 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
                                 use_pallas: bool = False,
                                 pallas_interpret: bool = False,
                                 frame_fold: str = "slices",
-                                frame_hat: str = "int32") -> jax.Array:
+                                frame_hat: str = "int32",
+                                frame_gemm: str = "big") -> jax.Array:
     """DCNv2 with offsets clamped to [-max_offset, max_offset], NHWC.
 
     Semantics otherwise match
@@ -77,7 +78,7 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
         return _frame_path(x, offset, mask, weight, bias, dg=dg, cpg=cpg,
                            r=r, bh=bh, bw=bw, k=k, kw=kw, dt=dt,
                            interpret=pallas_interpret, fold=frame_fold,
-                           hat=frame_hat)
+                           hat=frame_hat, gemm=frame_gemm)
 
     # zero-pad: r+1 before (tap -1 plus max negative offset), r+2+align
     # after, plus one extra block so partial q-group slices stay full-stride
@@ -431,7 +432,7 @@ def _fold_dcoord(dcrd, offset, mask, *, b, dg, k, kw, r, bh, bw, h, w, geom):
 
 
 def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
-                dt, interpret, fold="slices", hat="int32"):
+                dt, interpret, fold="slices", hat="int32", gemm="big"):
     """v8 fused Pallas frame-DMA DCN with a custom VJP: the backward is a
     transposed Pallas kernel (ops/pallas/dcn_frame_kernel.py
     dcn_frame_fused_bwd) that recomputes the sampling per block instead of
@@ -453,7 +454,7 @@ def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
         return dcn_frame_fused(
             xp, lyx, m_q, wt_g, cpg=cpg, bh=bh, bw=bw, ph=g["ph"],
             pw=g["pw"], nby=g["nby"], nbx=g["nbx"], k=k, fold=fold,
-            hat=hat, interpret=interpret)
+            hat=hat, gemm=gemm, interpret=interpret)
 
     def core_fwd(x_, off_, m_, w_):
         return core(x_, off_, m_, w_), (x_, off_, m_, w_)

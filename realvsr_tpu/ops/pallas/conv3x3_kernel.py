@@ -1,0 +1,224 @@
+"""Fused 3x3 conv Pallas kernel for the EDVR conv pool.
+
+XLA's TPU conv emitter runs the bench's 64-channel 3x3 convs at ~13-26
+TMAC/s while the same chip sustains 174 TFLOP/s on large matmuls
+(PERF_NOTES.md round-1 microbench table) — the conv pool is ~120 ms of
+the 357 ms EDVR frame.  This kernel reformulates NHWC 3x3/s1/p1 conv as
+nine accumulating MXU matmuls over a flattened pixel-row layout:
+
+  out[p, co] = sum_{dy,dx} x[p + dy*W + dx, ci] @ W[dy,dx][ci, co]
+
+* pixels are processed in whole-image-row groups (M = mrows*W), so the
+  dy=+-1 operands are slab row-slices at offsets dy*W + dx; W % 8 == 0
+  keeps the dy offsets sublane-aligned, and the dx=+-1 misalignment is a
+  cheap in-VMEM rotate.
+* the halo'd slab ((mrows+2)*W + 16 rows) is DMA'd from HBM with the
+  same double-buffered manual-DMA pattern as the DCN frame kernel; the
+  window start is clamped at the array ends and re-based in-kernel.
+* x-wrap columns (p % W at the row ends) and y image boundaries are
+  zeroed with iota-comparison masks on the per-tap partial products, so
+  zero "SAME" padding needs no padded copy of x in HBM.
+* bias add, ReLU/LeakyReLU, and the residual skip-add fuse into the
+  epilogue, replacing the separate XLA fusions around each conv.
+
+Replaces lax.conv_general_dilated for the hot 64-in convs
+(models/common.py ResidualBlockNoBN, EDVR front-end / PCD offset convs —
+reference: codes/models/archs/EDVR_arch.py:262-283, arch_util.py:121-139).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, wt_ref, b_ref, res_ref, out_ref, slab_ref, sem_ref, *,
+            mrows, w, h, cin, cout, act, alpha, has_res, n_rows, dt):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    m = mrows * w
+    halo = w + 8
+    rows = m + 2 * halo
+
+    def slab_dma(slot, blk):
+        # three windows: top halo strip, main block, bottom halo strip.
+        # At the array ends a strip's source start clamps in-range; the
+        # rows it then holds are garbage, but they correspond exactly to
+        # out-of-image taps, which the y/x masks below zero.
+        # clip() hides 8-divisibility from Mosaic's affine prover —
+        # reassert it (all operands are multiples of 8 by construction)
+        top = pl.multiple_of(jnp.clip(blk * m - halo, 0, n_rows - halo), 8)
+        bot = pl.multiple_of(jnp.clip(blk * m + m, 0, n_rows - halo), 8)
+        return [
+            pltpu.make_async_copy(x_ref.at[pl.ds(top, halo), :],
+                                  slab_ref.at[slot, pl.ds(0, halo)],
+                                  sem_ref.at[slot, 0]),
+            pltpu.make_async_copy(x_ref.at[pl.ds(blk * m, m), :],
+                                  slab_ref.at[slot, pl.ds(halo, m)],
+                                  sem_ref.at[slot, 1]),
+            pltpu.make_async_copy(x_ref.at[pl.ds(bot, halo), :],
+                                  slab_ref.at[slot, pl.ds(halo + m, halo)],
+                                  sem_ref.at[slot, 2]),
+        ]
+
+    @pl.when(i == 0)
+    def _():
+        for cp in slab_dma(0, i):
+            cp.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for cp in slab_dma((i + 1) % 2, i + 1):
+            cp.start()
+
+    for cp in slab_dma(i % 2, i):
+        cp.wait()
+    slot = i % 2
+    delta = 0
+
+    # global pixel index of out row 0 for masks
+    p0 = i * m
+    io = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    xpos = (p0 + io) % w
+    ypos = ((p0 + io) // w) % h
+
+    acc = jnp.zeros((m, cout), jnp.float32)
+    for dy in (-1, 0, 1):
+        # arithmetic 0/1 masks — i1 compare masks cannot relayout into
+        # bf16 multiplies on this Mosaic (see the DCN kernel's parity note)
+        ymask = None
+        if dy == -1:
+            ymask = jnp.clip(ypos, 0, 1)
+        elif dy == 1:
+            ymask = jnp.clip(h - 1 - ypos, 0, 1)
+        for dx in (-1, 0, 1):
+            off = delta + halo + dy * w + dx
+            src = slab_ref[slot, pl.ds(off, m), :]
+            if dx == -1:
+                mask = jnp.clip(xpos, 0, 1)
+            elif dx == 1:
+                mask = jnp.clip(w - 1 - xpos, 0, 1)
+            else:
+                mask = None
+            if ymask is not None:
+                mask = ymask if mask is None else (mask * ymask)
+            if mask is not None:
+                src = src * mask.astype(dt)
+            acc += jax.lax.dot_general(
+                src, wt_ref[(dy + 1) * 3 + dx + 1],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    acc += b_ref[0:1, :].astype(jnp.float32)
+    if act == "relu":
+        acc = jnp.maximum(acc, 0)
+    elif act == "lrelu":
+        acc = jnp.where(acc >= 0, acc, acc * alpha)
+    out = acc.astype(dt)
+    if has_res:
+        out = out + res_ref[...].reshape(m, cout)
+    out_ref[...] = out.reshape(out_ref.shape)
+
+
+def conv3x3_fused(x: jax.Array, weight: jax.Array,
+                  bias: jax.Array | None = None, *,
+                  act: str | None = None, alpha: float = 0.1,
+                  residual: jax.Array | None = None,
+                  mrows: int = 8,
+                  interpret: bool = False) -> jax.Array:
+    """NHWC 3x3 stride-1 SAME conv with fused bias/activation/residual.
+
+    x: (B, H, W, cin); weight: (3, 3, cin, cout); residual: (B, H, W, cout)
+    added AFTER activation (ResidualBlock_noBN semantics: identity + conv2
+    (relu(conv1 x)), arch_util.py:135-139).
+    """
+    b, h, w, cin = x.shape
+    kh, kw, cin_w, cout = weight.shape
+    assert (kh, kw) == (3, 3) and cin_w == cin
+    assert w % 8 == 0, "row-major sublane alignment needs W % 8 == 0"
+    while h % mrows:
+        mrows //= 2
+    n_rows = b * h * w
+    m = mrows * w
+    halo = w + 8
+    rows = m + 2 * halo
+    dt = x.dtype
+    grid = n_rows // m
+
+    xf = x.reshape(n_rows, cin)
+    wt = weight.astype(dt).reshape(9, cin, cout)
+    bi = (bias if bias is not None else jnp.zeros((cout,), dt))
+    bi = bi.astype(dt).reshape(1, cout)
+    has_res = residual is not None
+    res = (residual.reshape(n_rows, cout) if has_res
+           else jnp.zeros((1, cout), dt))
+
+    kern = functools.partial(_kernel, mrows=mrows, w=w, h=h, cin=cin,
+                             cout=cout, act=act, alpha=alpha,
+                             has_res=has_res, n_rows=n_rows, dt=dt)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        (pl.BlockSpec((m, cout), lambda i: (i, 0), memory_space=pltpu.VMEM)
+         if has_res else
+         pl.BlockSpec((1, cout), lambda i: (0, 0),
+                      memory_space=pltpu.VMEM)),
+    ]
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, cout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rows, cout), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, cin), dt),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_rows * 9 * cin * cout,
+            bytes_accessed=n_rows * cin * 2 * 2 + n_rows * cout * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(xf, wt, bi, res)
+    return out.reshape(b, h, w, cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3(x, weight, interpret=False):
+    """Differentiable plain 3x3/s1/SAME conv on the Pallas forward.
+
+    The backward runs on stock XLA convs (dx = correlate with the spatially
+    flipped kernel, dW = patch correlation) — the Pallas kernel accelerates
+    the inference-heavy forward while training numerics stay on the XLA
+    path the tests pin down.
+    """
+    return conv3x3_fused(x, weight, None, interpret=interpret)
+
+
+def _conv3x3_fwd(x, weight, interpret):
+    return conv3x3(x, weight, interpret), (x, weight)
+
+
+def _conv3x3_bwd(interpret, res, g):
+    x, weight = res
+    gdt = g.astype(x.dtype)
+    wflip = jnp.flip(weight, axis=(0, 1)).swapaxes(2, 3)
+    dx = jax.lax.conv_general_dilated(
+        gdt, wflip.astype(gdt.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    dw = jax.lax.conv_general_dilated(
+        x.transpose(3, 1, 2, 0), gdt.transpose(1, 2, 0, 3), (1, 1),
+        ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    dw = dw.transpose(1, 2, 0, 3).astype(weight.dtype)
+    return dx, dw
+
+
+conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)

@@ -109,7 +109,7 @@ def _hats(q0, frac, g, io_q, io_p, ph, pw, phr, dt, use_roll):
 
 def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, s_ref,
             sem_ref, *, p, k, dg, cpg, ph, pw, bh, nby, nbx,
-            ly2, lx2, fold, hat, use_roll):
+            ly2, lx2, fold, hat, use_roll, gemm):
     dt = out_ref.dtype
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -169,12 +169,29 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, s_ref,
             for pp in range(1, phr):
                 s = s + h[pp * cpg:(pp + 1) * cpg, :] * wy[pp:pp + 1, :]
         s = s * mask
-        for kk in range(k):
-            row = (g * k + kk) * cpg
-            s_ref[row:row + cpg, :] = s[:, kk * p:(kk + 1) * p]
-    acc = jax.lax.dot_general(
-        s_ref[:, :], wt_ref[:, :], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dt)
+        if gemm == "taps":
+            # one (cpg, q) store per group; the tap reindex moves into
+            # k accumulating K=dg*cpg GEMMs below (72 strided half-tile
+            # stores -> dg wide ones)
+            s_ref[g * cpg:(g + 1) * cpg, :] = s
+        else:
+            for kk in range(k):
+                row = (g * k + kk) * cpg
+                s_ref[row:row + cpg, :] = s[:, kk * p:(kk + 1) * p]
+    if gemm == "taps":
+        acc32 = jax.lax.dot_general(
+            s_ref[:, 0:p], wt_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for kk in range(1, k):
+            acc32 += jax.lax.dot_general(
+                s_ref[:, kk * p:(kk + 1) * p], wt_ref[kk],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc = acc32.astype(dt)
+    else:
+        acc = jax.lax.dot_general(
+            s_ref[:, :], wt_ref[:, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
     # write straight into the (B, H', W', cout) frame layout — saves the
     # block→frame transpose XLA would otherwise do
     out_ref[0] = acc.reshape(out_ref.shape[1:])
@@ -184,7 +201,7 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
                     wt: jax.Array, *,
                     cpg: int, bh: int, bw: int, ph: int, pw: int,
                     nby: int, nbx: int, k: int = 9, fold: str = "slices",
-                    hat: str = "int32",
+                    hat: str = "int32", gemm: str = "big",
                     interpret: bool = False) -> jax.Array:
     b_, dg, nbx_, hpc, lanes = xp.shape
     assert nbx_ == nbx and lanes == 128 and pw <= 128
@@ -204,9 +221,22 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
     kern = functools.partial(_kernel, p=p, k=k, dg=dg, cpg=cpg, ph=ph,
                              pw=pw, bh=bh, nby=nby, nbx=nbx,
                              ly2=ly2, lx2=lx2, fold=fold, hat=hat,
-                             use_roll=False)  # Mosaic: no bf16 rotate
+                             use_roll=False, gemm=gemm)  # Mosaic: no bf16 rotate
     flops = 2 * n_all * dg * (q * 128 * phr * cpg) + 2 * n_all * p * wt.size
     nbyx = nby * nbx
+
+    if gemm == "taps":
+        # rows (g, c) per tap: (k, dg*cpg, cout)
+        wt_in = wt.reshape(dg, k, cpg, cout).transpose(1, 0, 2, 3).reshape(
+            k, dg * cpg, cout)
+        wt_spec = pl.BlockSpec((k, dg * cpg, cout), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        s_scratch = pltpu.VMEM((dg * cpg, q), dt)
+    else:
+        wt_in = wt
+        wt_spec = pl.BlockSpec((dg * k * cpg, cout), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        s_scratch = pltpu.VMEM((dg * k * cpg, p), dt)
 
     def out_index(i):
         return (i // nbyx, (i % nbyx) // nbx, i % nbx, 0)
@@ -220,15 +250,14 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
             pl.BlockSpec((1, dg, q), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((dg * k * cpg, cout), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            wt_spec,
         ],
         out_specs=pl.BlockSpec((1, bh, bw, cout), out_index,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_, nby * bh, nbx * bw, cout), dt),
         scratch_shapes=[
             pltpu.VMEM((2, dg, phr * cpg, 128), dt),
-            pltpu.VMEM((dg * k * cpg, p), dt),
+            s_scratch,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -237,7 +266,7 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
                                     + dg * 2 * q * 2 + dg * q * 2),
             transcendentals=0),
         interpret=interpret,
-    )(lyx.reshape(n_all, dg * 2, q), m, xp, wt)
+    )(lyx.reshape(n_all, dg * 2, q), m, xp, wt_in)
     return out
 
 

@@ -1,0 +1,46 @@
+"""Streaming inference (eval/streaming.py) must be exact memoization:
+identical outputs to the per-window full model over a whole sequence."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realvsr_tpu.eval.streaming import StreamingRunner
+from realvsr_tpu.models.edvr import EDVRNoUp
+from realvsr_tpu.utils.indexing import index_generation
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = EDVRNoUp(nf=16, nc=3, nframes=3, groups=4, front_RBs=2,
+                     back_RBs=2, predeblur=False, HR_in=False, w_TSA=False)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, 32, 32, 3)))["params"]
+    return model, params
+
+
+def test_streaming_matches_full_model(small_model):
+    model, params = small_model
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(size=(5, 32, 64, 3)), jnp.float32)
+
+    runner = StreamingRunner(model, params, padding="replicate")
+    stream_out = np.asarray(runner.run(frames))
+
+    full = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    for t in range(frames.shape[0]):
+        sel = index_generation(t, frames.shape[0], 3, padding="replicate")
+        window = frames[jnp.asarray(sel)][None]
+        ref = np.asarray(full(params, window))[0]
+        np.testing.assert_allclose(stream_out[t], ref, atol=2e-5,
+                                   err_msg=f"frame {t}")
+
+
+def test_streaming_lazy_matches_run(small_model):
+    model, params = small_model
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)), jnp.float32)
+    runner = StreamingRunner(model, params)
+    a = np.asarray(runner.run(frames))
+    b = np.stack([np.asarray(o) for o in runner.run_lazy(frames)])
+    np.testing.assert_allclose(a, b, atol=1e-6)
