@@ -81,6 +81,10 @@ def main():
     # agrees with the exact gather op to 67.9 dB (PERF_NOTES.md round-2,
     # tools/validate_dcn_clamp.py)
     set_default_impl("frame", block_max_offset=4, block_chunk=128)
+    # pair-packed Pallas conv3x3 on the front/recon ResBlock chains
+    # (3.34 vs 4.45 ms/conv at the bench shape, PERF_NOTES round-3)
+    from realvsr_tpu.models.common import set_conv3x3_impl
+    set_conv3x3_impl("pallas")
 
     model = EDVRNoUp(nf=64, nc=3, nframes=NFRAMES, groups=8, front_RBs=5,
                      back_RBs=10, predeblur=False, HR_in=False, w_TSA=False,

@@ -52,10 +52,50 @@ def scaled_kaiming_normal(scale: float = 1.0):
     return init
 
 
+# --- optional Pallas fast path for the hot 3x3 convs -----------------
+# set_conv3x3_impl("pallas") routes packed-chain Conv2d calls through
+# ops/pallas/conv3x3_kernel.conv3x3_packed (inference fast path); "xla"
+# (default) keeps the stock lax.conv emitter everywhere.
+_CONV3X3_IMPL = {"mode": "xla"}
+
+
+def set_conv3x3_impl(mode: str) -> None:
+    assert mode in ("xla", "pallas", "pallas_interpret")
+    _CONV3X3_IMPL["mode"] = mode
+
+
+def conv3x3_fast_enabled() -> bool:
+    return _CONV3X3_IMPL["mode"].startswith("pallas")
+
+
+class _ConvParams(nn.Module):
+    """Declares kernel/bias with nn.Conv's exact names/shapes/inits so the
+    Pallas path shares one param tree (and checkpoints) with the XLA path."""
+
+    kshape: tuple
+    features: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.kshape, jnp.float32)
+        b = (self.param("bias", self.bias_init, (self.features,),
+                        jnp.float32) if self.use_bias else None)
+        return k, b
+
+
 class Conv2d(nn.Module):
     """Conv with torch-default init and explicit symmetric padding.
 
     Mirrors nn.Conv2d(cin, cout, k, stride, padding) in NHWC.
+
+    packed_io=True runs the Pallas pair-packed 3x3 kernel
+    (ops/pallas/conv3x3_kernel.py) on (B, H, W/2, 2cin) inputs with
+    optionally fused activation (`fused_act`) and residual add (the
+    ``residual`` call argument) — only valid when the caller packed the
+    chain and set_conv3x3_impl("pallas") is active.
     """
 
     features: int
@@ -67,16 +107,34 @@ class Conv2d(nn.Module):
     bias_init: Callable | None = None
     feature_group_count: int = 1
     dtype: Dtype = jnp.float32
+    packed_io: bool = False
+    fused_act: str | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         k = (self.kernel_size, self.kernel_size) if isinstance(
             self.kernel_size, int) else self.kernel_size
         pad = self.padding if self.padding is not None else k[0] // 2
+        if self.packed_io:
+            from realvsr_tpu.ops.pallas.conv3x3_kernel import conv3x3_packed
+
+            assert k == (3, 3) and self.stride == 1 and pad == 1
+            assert self.feature_group_count == 1
+            cin = x.shape[-1] // 2
+            fan_in = 9 * cin
+            kernel, bias = _ConvParams(
+                (3, 3, cin, self.features), self.features, self.use_bias,
+                self.kernel_init, self.bias_init or torch_bias_init(fan_in),
+                name="Conv_0")()
+            return conv3x3_packed(
+                x, kernel.astype(self.dtype),
+                None if bias is None else bias.astype(self.dtype),
+                h=x.shape[1], act=self.fused_act, residual=residual,
+                interpret=_CONV3X3_IMPL["mode"] == "pallas_interpret")
         cin = x.shape[-1]
         fan_in = k[0] * k[1] * (cin // self.feature_group_count)
         bias_init = self.bias_init or torch_bias_init(fan_in)
-        return nn.Conv(
+        out = nn.Conv(
             features=self.features,
             kernel_size=k,
             strides=(self.stride, self.stride),
@@ -88,6 +146,13 @@ class Conv2d(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
+        if self.fused_act == "relu":
+            out = nn.relu(out)
+        elif self.fused_act == "lrelu":
+            out = lrelu(out)
+        if residual is not None:
+            out = out + residual
+        return out
 
 
 def lrelu(x, slope: float = 0.1):
@@ -96,20 +161,30 @@ def lrelu(x, slope: float = 0.1):
 
 
 class ResidualBlockNoBN(nn.Module):
-    """Conv-ReLU-Conv + identity (arch_util.py:121-139), 0.1-scaled init."""
+    """Conv-ReLU-Conv + identity (arch_util.py:121-139), 0.1-scaled init.
+
+    With packed_io=True the block operates on the pair-packed layout and
+    fuses relu + the identity add into the Pallas conv epilogues."""
 
     nf: int = 64
     dtype: Dtype = jnp.float32
+    packed_io: bool = False
 
     @nn.compact
     def __call__(self, x):
         out = Conv2d(self.nf, 3, kernel_init=scaled_kaiming_normal(0.1),
                      bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     packed_io=self.packed_io,
+                     fused_act="relu" if self.packed_io else None,
                      name="conv1")(x)
-        out = nn.relu(out)
+        if not self.packed_io:
+            out = nn.relu(out)
         out = Conv2d(self.nf, 3, kernel_init=scaled_kaiming_normal(0.1),
                      bias_init=nn.initializers.zeros, dtype=self.dtype,
-                     name="conv2")(out)
+                     packed_io=self.packed_io,
+                     name="conv2")(out, residual=x if self.packed_io else None)
+        if self.packed_io:
+            return out
         return x + out
 
 

@@ -18,9 +18,10 @@ import jax
 import jax.numpy as jnp
 
 from realvsr_tpu.models.common import (
-    Blocks, Conv2d, DCNPack, ResidualBlockNoBN, avg_pool_3x3_s2, lrelu,
-    max_pool_3x3_s2,
+    Blocks, Conv2d, DCNPack, ResidualBlockNoBN, avg_pool_3x3_s2,
+    conv3x3_fast_enabled, lrelu, max_pool_3x3_s2,
 )
+from realvsr_tpu.ops.pallas.conv3x3_kernel import pack_pairs, unpack_pairs
 from realvsr_tpu.ops.resize import pixel_shuffle, resize_bilinear, upsample2x_bilinear
 
 Dtype = Any
@@ -191,8 +192,15 @@ class _EDVRBase(nn.Module):
         else:
             l1 = lrelu(Conv2d(nf, 3, dtype=dt, name="conv_first")(x_flat))
         BlocksT = nn.checkpoint(Blocks) if self.remat else Blocks
-        l1 = BlocksT(ResidualBlockNoBN, self.front_RBs, dict(nf=nf, dtype=dt),
+        packed = (conv3x3_fast_enabled() and l1.shape[-2] % 16 == 0
+                  and not self.remat)
+        if packed:
+            l1 = pack_pairs(l1)
+        l1 = BlocksT(ResidualBlockNoBN, self.front_RBs,
+                     dict(nf=nf, dtype=dt, packed_io=packed),
                      name="feature_extraction")(l1)
+        if packed:
+            l1 = unpack_pairs(l1)
         l2 = lrelu(Conv2d(nf, 3, 2, dtype=dt, name="fea_L2_conv1")(l1))
         l2 = lrelu(Conv2d(nf, 3, dtype=dt, name="fea_L2_conv2")(l2))
         l3 = lrelu(Conv2d(nf, 3, 2, dtype=dt, name="fea_L3_conv1")(l2))
@@ -294,8 +302,16 @@ class EDVRNoUp(_EDVRBase):
             x_center = x[:, self.center_idx]
             fea = self.extract_and_align(x)
         BlocksT = nn.checkpoint(Blocks) if self.remat else Blocks
+        packed = (conv3x3_fast_enabled() and fea.shape[-2] % 16 == 0
+                  and not self.remat)
+        if packed:
+            fea = pack_pairs(fea)
         out = BlocksT(ResidualBlockNoBN, self.back_RBs,
-                      dict(nf=self.nf, dtype=dt), name="recon_trunk")(fea)
-        out = lrelu(Conv2d(64, 3, dtype=dt, name="HRconv")(out))
+                      dict(nf=self.nf, dtype=dt, packed_io=packed),
+                      name="recon_trunk")(fea)
+        out = Conv2d(64, 3, dtype=dt, packed_io=packed,
+                     fused_act="lrelu", name="HRconv")(out)
+        if packed:
+            out = unpack_pairs(out)
         out = Conv2d(self.nc, 3, dtype=dt, name="conv_last")(out)
         return out + x_center

@@ -188,6 +188,203 @@ def conv3x3_fused(x: jax.Array, weight: jax.Array,
     return out.reshape(b, h, w, cout)
 
 
+# ---------------------------------------------------------------- packed
+#
+# Pair-packed variant: two W-adjacent pixels share one 128-lane vector
+# ((B, H, W/2, 2*cin) flattened to (rows, 2*cin)), which satisfies the
+# TPU DMA rule that HBM slices span whole 128-lane tiles (the plain
+# (rows, 64) layout above cannot be manually DMA'd at all — Mosaic
+# rejects 64-wide slices).  The dx=+-1 taps fold into the packed weight
+# blocks: contribution (input parity q -> output parity r) at packed
+# column offset pdx carries original tap dx = 2*pdx + q - r, giving nine
+# (2cin, 2cout) matmuls per block — all full K>=128 MXU passes, with the
+# two remaining half-zero blocks costing nothing extra.
+
+
+def pack_pairs(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H, W//2, 2C) pair-packed layout."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def unpack_pairs(x: jax.Array) -> jax.Array:
+    b, h, wp, c2 = x.shape
+    return x.reshape(b, h, wp * 2, c2 // 2)
+
+
+def pack_weights(weight: jax.Array, dt) -> jax.Array:
+    """(3, 3, cin, cout) -> (9, 2cin, 2cout) packed blocks.
+
+    Block (dy, pdx)[q*cin + c, r*cout + o] = W[dy, 2*pdx + q - r + 1, c, o]
+    when that dx is a valid tap, else 0.
+    """
+    kh, kw, cin, cout = weight.shape
+    out = jnp.zeros((3, 3, 2 * cin, 2 * cout), jnp.float32)
+    wf = weight.astype(jnp.float32)
+    for pdx in (-1, 0, 1):
+        for q in (0, 1):
+            for r in (0, 1):
+                dx = 2 * pdx + q - r
+                if -1 <= dx <= 1:
+                    out = out.at[:, pdx + 1,
+                                 q * cin:(q + 1) * cin,
+                                 r * cout:(r + 1) * cout].set(wf[:, dx + 1])
+    return out.reshape(9, 2 * cin, 2 * cout).astype(dt)
+
+
+def _packed_kernel(x_ref, wt_ref, b_ref, res_ref, out_ref, slab_ref,
+                   a_ref, sem_ref, *, mrows, wp, h, cin2, cout2, act,
+                   alpha, has_res, n_rows, dt):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    m = mrows * wp
+    halo = wp + 8
+    rows = m + 2 * halo
+
+    def slab_dma(slot, blk):
+        top = pl.multiple_of(
+            jnp.clip(blk * m - halo, 0, n_rows - halo), 8)
+        bot = pl.multiple_of(
+            jnp.clip(blk * m + m, 0, n_rows - halo), 8)
+        return [
+            pltpu.make_async_copy(x_ref.at[pl.ds(top, halo), :],
+                                  slab_ref.at[slot, pl.ds(0, halo)],
+                                  sem_ref.at[slot, 0]),
+            pltpu.make_async_copy(x_ref.at[pl.ds(blk * m, m), :],
+                                  slab_ref.at[slot, pl.ds(halo, m)],
+                                  sem_ref.at[slot, 1]),
+            pltpu.make_async_copy(x_ref.at[pl.ds(bot, halo), :],
+                                  slab_ref.at[slot, pl.ds(halo + m, halo)],
+                                  sem_ref.at[slot, 2]),
+        ]
+
+    @pl.when(i == 0)
+    def _():
+        for cp in slab_dma(0, i):
+            cp.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for cp in slab_dma((i + 1) % 2, i + 1):
+            cp.start()
+
+    for cp in slab_dma(i % 2, i):
+        cp.wait()
+    slot = i % 2
+
+    p0 = i * m
+    me = m + 2
+    ioe = jax.lax.broadcasted_iota(jnp.int32, (me, 1), 0) - 1
+    jpos_e = (p0 + ioe) % wp
+    ypos_e = ((p0 + ioe) // wp) % h
+
+    # dy-stacked staging: A = (m+2, 3*cin2) built from THREE row-aligned
+    # VMEM copies (lane offsets are cin2-multiples — the packing's whole
+    # point; the unpacked 64-ch layout would need 64-lane writes Mosaic
+    # can't tile).  The pdx=+-1 taps then ride three K=3*cin2 dots whose
+    # f32 outputs are shifted one row before accumulating — 3 accumulator
+    # round-trips instead of 9 (nine K=cin2 dots measured 2x slower), and
+    # no sublane-misaligned bf16 copies (a full 9*cin2 im2col needs 6,
+    # measured slower still).
+    for t, dy in enumerate((-1, 0, 1)):
+        src = slab_ref[slot, pl.ds(halo - 1 + dy * wp, me), :]
+        if dy == -1:
+            src = src * jnp.clip(ypos_e, 0, 1).astype(dt)
+        elif dy == 1:
+            src = src * jnp.clip(h - 1 - ypos_e, 0, 1).astype(dt)
+        a_ref[:, t * cin2:(t + 1) * cin2] = src
+    jm = jpos_e[1:1 + m]  # packed col of each OUT row
+    acc = None
+    for pdx in (-1, 0, 1):
+        t = jax.lax.dot_general(
+            a_ref[:, :], wt_ref[pdx + 1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ts = t[1 + pdx:1 + pdx + m]
+        if pdx == -1:  # reading col j-1: invalid at j == 0
+            ts = ts * jnp.clip(jm, 0, 1).astype(jnp.float32)
+        elif pdx == 1:  # reading col j+1: invalid at j == wp-1
+            ts = ts * jnp.clip(wp - 1 - jm, 0, 1).astype(jnp.float32)
+        acc = ts if acc is None else acc + ts
+    acc += b_ref[0:1, :].astype(jnp.float32)
+    if act == "relu":
+        acc = jnp.maximum(acc, 0)
+    elif act == "lrelu":
+        acc = jnp.where(acc >= 0, acc, acc * alpha)
+    out = acc.astype(dt)
+    if has_res:
+        out = out + res_ref[...].reshape(m, cout2)
+    out_ref[...] = out.reshape(out_ref.shape)
+
+
+def conv3x3_packed(xp: jax.Array, weight: jax.Array,
+                   bias: jax.Array | None = None, *,
+                   h: int, act: str | None = None, alpha: float = 0.1,
+                   residual: jax.Array | None = None,
+                   mrows: int = 8,
+                   interpret: bool = False) -> jax.Array:
+    """3x3/s1/SAME conv on the pair-packed layout.
+
+    xp: (B, H, W/2, 2*cin) from :func:`pack_pairs`; weight (3, 3, cin,
+    cout); returns (B, H, W/2, 2*cout) packed.  h is the image height (for
+    the dy boundary masks).
+    """
+    b, hh, wp, cin2 = xp.shape
+    assert hh == h
+    _, _, cin, cout = weight.shape
+    assert cin2 == 2 * cin and wp % 8 == 0
+    while h % mrows:
+        mrows //= 2
+    cout2 = 2 * cout
+    n_rows = b * h * wp
+    m = mrows * wp
+    halo = wp + 8
+    rows = m + 2 * halo
+    dt = xp.dtype
+
+    xf = xp.reshape(n_rows, cin2)
+    # (3dy, 3pdx, cin2, cout2) -> per-pdx dy-stacked (3, 3*cin2, cout2)
+    wt = pack_weights(weight, dt).reshape(3, 3, cin2, cout2).transpose(
+        1, 0, 2, 3).reshape(3, 3 * cin2, cout2)
+    bi = (bias if bias is not None else jnp.zeros((cout,), dt))
+    bi = jnp.tile(bi.astype(dt), 2).reshape(1, cout2)
+    has_res = residual is not None
+    res = (residual.reshape(n_rows, cout2) if has_res
+           else jnp.zeros((1, cout2), dt))
+
+    kern = functools.partial(_packed_kernel, mrows=mrows, wp=wp, h=h,
+                             cin2=cin2, cout2=cout2, act=act, alpha=alpha,
+                             has_res=has_res, n_rows=n_rows, dt=dt)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((3, 3 * cin2, cout2), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        (pl.BlockSpec((m, cout2), lambda i: (i, 0), memory_space=pltpu.VMEM)
+         if has_res else
+         pl.BlockSpec((1, cout2), lambda i: (0, 0),
+                      memory_space=pltpu.VMEM)),
+    ]
+    out = pl.pallas_call(
+        kern,
+        grid=(n_rows // m,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, cout2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rows, cout2), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, cin2), dt),
+            pltpu.VMEM((m + 2, 3 * cin2), dt),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_rows * 9 * cin2 * cout2,
+            bytes_accessed=n_rows * cin2 * 2 * 2 + n_rows * cout2 * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(xf, wt, bi, res)
+    return out.reshape(b, h, wp, cout2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def conv3x3(x, weight, interpret=False):
     """Differentiable plain 3x3/s1/SAME conv on the Pallas forward.

@@ -1,0 +1,91 @@
+"""Pallas pair-packed 3x3 conv kernel vs lax.conv (interpret mode).
+
+The packed layout (two W-adjacent pixels -> 128 lanes) is what makes the
+kernel's manual HBM DMA legal on TPU (64-wide slices are rejected); the
+dx taps ride packed weight blocks (ops/pallas/conv3x3_kernel.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realvsr_tpu.ops.pallas.conv3x3_kernel import (
+    conv3x3, conv3x3_fused, conv3x3_packed, pack_pairs, unpack_pairs,
+)
+
+
+def _ref(x, w, bias=None):
+    o = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        o = o + bias
+    return o
+
+
+@pytest.mark.parametrize("cin,cout,mrows", [(64, 64, 4), (128, 64, 8),
+                                            (64, 216, 4)])
+def test_packed_matches_lax_conv(cin, cout, mrows):
+    rng = np.random.default_rng(0)
+    b, h, w = 2, 16, 64
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+    wgt = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    ref = _ref(x, wgt, bias)
+    out = unpack_pairs(conv3x3_packed(
+        pack_pairs(x), wgt, bias, h=h, mrows=mrows, interpret=True))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_fused_act_residual():
+    rng = np.random.default_rng(1)
+    b, h, w, c = 1, 8, 32, 64
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+    wgt = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.1, jnp.float32)
+    res = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+    ref = jnp.maximum(_ref(x, wgt), 0) + res
+    out = unpack_pairs(conv3x3_packed(
+        pack_pairs(x), wgt, None, h=h, act="relu",
+        residual=pack_pairs(res), mrows=4, interpret=True))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_unpacked_kernel_and_custom_vjp():
+    rng = np.random.default_rng(2)
+    b, h, w, c = 2, 8, 16, 8
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+    wgt = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.3, jnp.float32)
+    ref = _ref(x, wgt)
+    out = conv3x3_fused(x, wgt, None, mrows=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def lp(x, w):
+        return jnp.sum(jnp.sin(conv3x3(x, w, True)))
+
+    def lr(x, w):
+        return jnp.sum(jnp.sin(_ref(x, w)))
+
+    gp = jax.grad(lp, argnums=(0, 1))(x, wgt)
+    gr = jax.grad(lr, argnums=(0, 1))(x, wgt)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
+                               atol=1e-4)
+
+
+def test_model_packed_chain_parity():
+    """EDVRNoUp with the packed conv chains enabled matches the XLA path."""
+    from realvsr_tpu.models.common import set_conv3x3_impl
+    from realvsr_tpu.models.edvr import EDVRNoUp
+
+    model = EDVRNoUp(nf=16, nc=3, nframes=3, groups=4, front_RBs=2,
+                     back_RBs=2, predeblur=False, HR_in=False, w_TSA=False)
+    x = jnp.asarray(np.random.default_rng(3).uniform(size=(1, 3, 16, 32, 3)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x)
+    set_conv3x3_impl("pallas_interpret")
+    try:
+        out = model.apply({"params": params}, x)
+    finally:
+        set_conv3x3_impl("xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
