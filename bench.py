@@ -108,12 +108,36 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"secondary 1080p measurement failed: {e}", file=sys.stderr)
 
+    try:
+        fps_stream = _measure_streaming(model, params)
+        print(f"secondary: 1024x512 STREAMING video inference "
+              f"{fps_stream:.4f} frames/s (per-frame pyramid cache, "
+              "identical outputs; eval/streaming.py)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"streaming measurement failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "edvr_noup_1024x512_inference_frames_per_sec_per_chip",
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS_A100, 4),
     }), flush=True)
+
+
+def _measure_streaming(model, params, t_total=12):
+    import jax.numpy as jnp
+
+    from realvsr_tpu.eval.streaming import StreamingRunner
+
+    runner = StreamingRunner(model, params, padding="replicate")
+    frames = jnp.zeros((t_total, 512, 1024, 3), jnp.bfloat16)
+    runner.run_scan(frames).block_until_ready()  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        runner.run_scan(frames).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return t_total / min(times)
 
 
 def _measure_tiled_1080(model, params):

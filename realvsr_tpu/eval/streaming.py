@@ -46,6 +46,7 @@ class StreamingRunner:
 
         self._pyramid = pyramid
         self._fuse = fuse
+        self._scan_all = None
 
     def run(self, frames):
         """frames: (T, H, W, C) array (or list of (H, W, C)).
@@ -66,6 +67,62 @@ class StreamingRunner:
             out = self._fuse(self.params, stacked, frames[t:t + 1])
             outs.append(out[0])
         return jnp.stack(outs)
+
+    def run_scan(self, frames):
+        """Whole streaming loop inside ONE jit via lax.scan (TPU-native:
+        no per-frame dispatch/tunnel overhead).  N=3 windows only; border
+        frames use replicate padding like the reference's
+        index_generation (data/util.py:169-214).
+
+        The carry holds the previous two frames' pyramids; each scan step
+        ingests one new frame, computes its pyramid, and reconstructs the
+        window centered on the middle cached frame.
+        """
+        assert self.n == 3 and self.padding == "replicate"
+        frames = jnp.asarray(frames)
+        if self._scan_all is None:
+            self._scan_all = self._build_scan()
+        return self._scan_all(self.params, frames)
+
+    def _build_scan(self):
+        """Build the jitted scan once per runner — a fresh ``@jax.jit``
+        closure per call would recompile the whole scan graph (minutes
+        with Mosaic kernels) on every invocation."""
+        model = self.model
+
+        @jax.jit
+        def scan_all(p, fr):
+            def pyr(frame):
+                return model.apply({"params": p}, frame[None],
+                                   mode="pyramid")
+
+            def fuse(p3, center):
+                stacked = tuple(
+                    jnp.stack([p3[0][li], p3[1][li], p3[2][li]], axis=1)
+                    for li in range(3))
+                return model.apply({"params": p}, (*stacked, center),
+                                   mode="fuse")[0]
+
+            p0 = pyr(fr[0])
+            # first output: window (0, 0, 1) — replicate left border
+            out0 = fuse((p0, p0, pyr(fr[1])), fr[0:1])
+
+            # interior: center frames 1..T-2, new frame = t+1
+            def step2(carry, xs):
+                pm1, pm0, center = carry
+                frame = xs
+                pnew = pyr(frame)
+                out = fuse((pm1, pm0, pnew), center[None])
+                return (pm0, pnew, frame), out
+
+            carry = (p0, pyr(fr[1]), fr[1])
+            carry, outs = jax.lax.scan(step2, carry, fr[2:])
+            pm1, pm0, center = carry
+            # last output: window (T-2, T-1, T-1) — replicate right border
+            outl = fuse((pm1, pm0, pm0), center[None])
+            return jnp.concatenate([out0[None], outs, outl[None]], axis=0)
+
+        return scan_all
 
     def run_lazy(self, frames):
         """Generator variant: yields frame t after frame t + N//2 arrives

@@ -320,9 +320,15 @@ def conv3x3_packed(xp: jax.Array, weight: jax.Array,
                    bias: jax.Array | None = None, *,
                    h: int, act: str | None = None, alpha: float = 0.1,
                    residual: jax.Array | None = None,
-                   mrows: int = 8,
+                   mrows: int | None = None,
                    interpret: bool = False) -> jax.Array:
     """3x3/s1/SAME conv on the pair-packed layout.
+
+    The per-step VMEM working set (slab + A staging + three f32 dot
+    outputs + pipelined out/res blocks) scales with m = mrows*wp, so the
+    default picks the largest power-of-2 mrows with m <= 2048 packed
+    pixels — the measured v5e ceiling (mrows=4 at wp=512; mrows=8 blows
+    the 16 MB scoped limit, and wp=960 needs mrows=2).
 
     xp: (B, H, W/2, 2*cin) from :func:`pack_pairs`; weight (3, 3, cin,
     cout); returns (B, H, W/2, 2*cout) packed.  h is the image height (for
@@ -332,6 +338,10 @@ def conv3x3_packed(xp: jax.Array, weight: jax.Array,
     assert hh == h
     _, _, cin, cout = weight.shape
     assert cin2 == 2 * cin and wp % 8 == 0
+    if mrows is None:
+        mrows = 1
+        while mrows * 2 * wp <= 2048:
+            mrows *= 2
     while h % mrows:
         mrows //= 2
     cout2 = 2 * cout

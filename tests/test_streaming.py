@@ -44,3 +44,13 @@ def test_streaming_lazy_matches_run(small_model):
     a = np.asarray(runner.run(frames))
     b = np.stack([np.asarray(o) for o in runner.run_lazy(frames)])
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_streaming_scan_matches_run(small_model):
+    model, params = small_model
+    rng = np.random.default_rng(2)
+    frames = jnp.asarray(rng.uniform(size=(6, 32, 32, 3)), jnp.float32)
+    runner = StreamingRunner(model, params, padding="replicate")
+    a = np.asarray(runner.run(frames))
+    b = np.asarray(runner.run_scan(frames))
+    np.testing.assert_allclose(a, b, atol=2e-5)
