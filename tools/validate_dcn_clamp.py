@@ -26,6 +26,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--frames", nargs="*", default=None)
+    parser.add_argument("--motion_seq", type=int, default=None,
+                        help="Use 3 consecutive LQ frames of a held-out "
+                             "motion-rich synthetic sequence (seq ids >= "
+                             "100 are disjoint from every training "
+                             "config) instead of --frames")
     parser.add_argument("--hw", nargs=2, type=int, default=[256, 512])
     parser.add_argument("--radii", nargs="+", type=int, default=[4, 8])
     parser.add_argument("--nf", type=int, default=64)
@@ -41,7 +46,16 @@ def main():
     h, w = args.hw
     model = EDVRNoUp(nf=args.nf, nc=3, nframes=3, groups=8, front_RBs=5,
                      back_RBs=10, predeblur=False, HR_in=False, w_TSA=False)
-    if args.frames:
+    if args.motion_seq is not None:
+        from realvsr_tpu.data.synthetic import (_degrade_realistic,
+                                                _motion_frame)
+
+        s = args.motion_seq
+        gts = [_motion_frame(s, t, h, w) for t in range(1, 4)]
+        lqs = [_degrade_realistic(g, np.random.default_rng(s * 1000 + t))
+               for g, t in zip(gts, range(1, 4))]
+        x = jnp.asarray(np.stack(lqs)[None])
+    elif args.frames:
         import cv2
 
         imgs = [cv2.imread(p).astype(np.float32)[..., ::-1] / 255.0
@@ -62,7 +76,9 @@ def main():
         params = ckpt_mod.load_network(args.ckpt, params)
 
     # ---- (a) offset magnitude distribution via sown intermediates
-    dc.set_default_impl("block", block_max_offset=8)
+    # collect under the widest clamp being validated so upstream PCD
+    # levels see unclamped-enough features (matters for R=16-trained runs)
+    dc.set_default_impl("block", block_max_offset=max(max(args.radii), 8))
     out_exact_like, inter = model.apply(
         {"params": params}, x, mutable=["intermediates"])
     offs = [np.abs(np.asarray(v, np.float32)).ravel()
