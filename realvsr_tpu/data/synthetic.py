@@ -8,6 +8,8 @@ has no test fixtures at all — SURVEY §4).
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
@@ -176,7 +178,12 @@ def _sample_bilinear(img: np.ndarray, ys: np.ndarray, xs: np.ndarray):
             + img[y0 + 1, x0] * ty * (1 - tx) + img[y0 + 1, x0 + 1] * ty * tx)
 
 
+@functools.lru_cache(maxsize=4096)
 def _motion_frame(seq: int, t: int, h: int, w: int) -> np.ndarray:
+    """Cached: the generator is pure in (seq, t, h, w) and costs tens of
+    ms per frame — regenerating every __getitem__ made the train loader
+    the bottleneck.  Callers must not mutate the returned array (the
+    dataset only crops/copies)."""
     rng = np.random.default_rng(seq * 7919)
     pad = 48
     bg = _texture(seq * 31 + 1, h + 2 * pad, w + 2 * pad)
@@ -217,6 +224,14 @@ def _degrade_realistic(img: np.ndarray, rng: np.random.Generator):
     return np.clip(out, 0.0, 1.0).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=4096)
+def _lq_frame(seq: int, t: int, h: int, w: int) -> np.ndarray:
+    """Cached degraded frame: the degradation rng is derived purely from
+    (seq, t), so the LQ frame is a pure function of the key too."""
+    return _degrade_realistic(_motion_frame(seq, t, h, w),
+                              np.random.default_rng(seq * 1000 + t))
+
+
 class SyntheticMotionVSRDataset(SyntheticVSRDataset):
     """AllPair training set over the motion-rich generator."""
 
@@ -230,8 +245,8 @@ class SyntheticMotionVSRDataset(SyntheticVSRDataset):
         ]
         gts = [_motion_frame(seq, t, self.frame_h, self.frame_w)
                for t in neighbors]
-        lqs = [_degrade_realistic(g, np.random.default_rng(seq * 1000 + t))
-               for g, t in zip(gts, neighbors)]
+        lqs = [_lq_frame(seq, t, self.frame_h, self.frame_w)
+               for t in neighbors]
         gt_size = self.gt_size
         y = rng.integers(0, self.frame_h - gt_size + 1)
         x = rng.integers(0, self.frame_w - gt_size + 1)

@@ -318,6 +318,23 @@ class Trainer:
         val_freq = int(opt["train"]["val_freq"]) if opt["train"].get(
             "val_freq") else None
         sharding = batch_sharding(self.mesh)
+
+        # graceful preemption: SIGTERM/SIGINT save a resumable checkpoint
+        # before exiting (the reference's torch trainer loses everything
+        # since the last save_checkpoint_freq multiple; on preemptible
+        # TPU pools the eviction signal IS the common shutdown path)
+        import signal
+
+        stop = {"flag": False}
+
+        def _request_stop(signum, frame):
+            stop["flag"] = True
+
+        prev_handlers = {
+            s: signal.signal(s, _request_stop)
+            for s in (signal.SIGTERM, signal.SIGINT)
+        }
+
         logger.info(f"Start training from epoch: {self.start_epoch:d}, "
                     f"iter: {self.current_step:d}")
         t_last = time.time()
@@ -361,8 +378,15 @@ class Trainer:
 
                 if self.current_step % save_freq == 0:
                     self.save_checkpoint(epoch, self.current_step)
+                if stop["flag"]:
+                    break
+            if stop["flag"]:
+                logger.info("Stop signal received — saving and exiting.")
+                break
             epoch += 1
 
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
         self.save_checkpoint(epoch, "latest")
         logger.info("End of training.")
         return self.state
