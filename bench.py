@@ -131,17 +131,22 @@ def main():
 
 
 def _measure_streaming(model, params, t_total=12):
+    import jax
     import jax.numpy as jnp
 
     from realvsr_tpu.eval.streaming import StreamingRunner
 
     runner = StreamingRunner(model, params, padding="replicate")
     frames = jnp.zeros((t_total, 512, 1024, 3), jnp.bfloat16)
-    runner.run_scan(frames).block_until_ready()  # compile
+    # block_until_ready acks EARLY through the axon tunnel (PERF_NOTES
+    # methodology) — force a full-output reduction readback instead, with
+    # the reduction pre-compiled so the timed calls are execution-only
+    red = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
+    float(red(runner.run_scan(frames)))  # compile both
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        runner.run_scan(frames).block_until_ready()
+        float(red(runner.run_scan(frames)))
         times.append(time.perf_counter() - t0)
     return t_total / min(times)
 
