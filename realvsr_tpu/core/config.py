@@ -67,6 +67,12 @@ def parse(opt_path: str, is_train: bool = True, root: str | None = None) -> None
                 if dataset[key].endswith("lmdb"):
                     is_lmdb = True
         dataset["data_type"] = "lmdb" if is_lmdb else "img"
+        if str(dataset.get("mode", "")).endswith("_mc"):
+            # memcached config shim (options/options.py:33-39): normalize
+            # the mode so such YAMLs parse; the mc *client* is scoped out
+            # (PARITY.md — no memcached in this deployment environment)
+            dataset["data_type"] = "mc"
+            dataset["mode"] = dataset["mode"].replace("_mc", "")
 
     opt.setdefault("path", {})
     for key, path in list(opt["path"].items()):

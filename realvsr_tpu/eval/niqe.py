@@ -14,7 +14,8 @@ decoded outside MATLAB, so this module reimplements the full pipeline:
   * score: Mahalanobis-style distance between the model MVG and the
     test image's block-feature MVG.
 
-BRISQUE requires a trained SVR (libsvm model) and is not reimplemented.
+BRISQUE (features, libsvm model parsing, fitting) lives in
+``realvsr_tpu/eval/brisque.py``.
 """
 from __future__ import annotations
 

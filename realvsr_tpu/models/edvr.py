@@ -258,10 +258,18 @@ class EDVR(_EDVRBase):
     """EDVR with x4 pixel-shuffle upsampling (EDVR_arch.py:211-320)."""
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mode: str = "full"):
+        """mode: same contract as :class:`EDVRNoUp` — "full" / "pyramid" /
+        "fuse" (the split modes power eval/streaming.py)."""
         dt = self.dtype
-        x_center = x[:, self.center_idx]
-        fea = self.extract_and_align(x)
+        if mode == "pyramid":
+            return self.front_pyramid(x)
+        if mode == "fuse":
+            l1v, l2v, l3v, x_center = x
+            fea = self.align_fuse(l1v, l2v, l3v)
+        else:
+            x_center = x[:, self.center_idx]
+            fea = self.extract_and_align(x)
         out = Blocks(ResidualBlockNoBN, self.back_RBs, dict(nf=self.nf, dtype=dt),
                      name="recon_trunk")(fea)
         out = lrelu(pixel_shuffle(

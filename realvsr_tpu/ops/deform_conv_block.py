@@ -386,8 +386,13 @@ def _fold_dpg(dpg, *, b, dg, cpg, bh, bw, r, h, w, geom, hp2, wp2, wfull,
             + d6[:, :, :, :, bx], bx * bw, axis=4)
     # rows: block by covers absolute rows [by*bc, by*bc + pc)
     hfull = (nby - 1) * bc + pc
-    dxr = jnp.zeros((b, dg, hfull, wfull), jnp.float32)
     nqy = -(-pc // bc)
+    # allocate (nby + nqy - 1)*bc rows: when pc % bc != 0 the last chunk's
+    # update spans rows [(nqy-1)*bc, (nqy-1)*bc + nby*bc) > hfull, and
+    # dynamic_update_slice would CLAMP the start, misplacing that chunk's
+    # gradient by bc - pc%bc rows (advisor round-3 high finding)
+    halloc = (nby + nqy - 1) * bc
+    dxr = jnp.zeros((b, dg, halloc, wfull), jnp.float32)
     for qy in range(nqy):
         sh_ = min(bc, pc - qy * bc)
         sl = acc[:, :, :, qy * bc:qy * bc + sh_]      # (b, nby, dg, sh, W)
@@ -397,6 +402,7 @@ def _fold_dpg(dpg, *, b, dg, cpg, bh, bw, r, h, w, geom, hp2, wp2, wfull,
         cur = jax.lax.dynamic_slice_in_dim(dxr, qy * bc, nby * bc, axis=2)
         dxr = jax.lax.dynamic_update_slice_in_dim(dxr, cur + sl,
                                                   qy * bc, axis=2)
+    dxr = dxr[:, :, :hfull]
     # back through the panel/row layout to the padded frame, then unpad
     dxr = jnp.pad(dxr, ((0, 0), (0, 0), (0, hp2 * cpg - hfull), (0, 0)))
     dxr = dxr[:, :, :, :wp2]

@@ -322,17 +322,85 @@ def conv3x3_packed(xp: jax.Array, weight: jax.Array,
                    residual: jax.Array | None = None,
                    mrows: int | None = None,
                    interpret: bool = False) -> jax.Array:
-    """3x3/s1/SAME conv on the pair-packed layout.
+    """Differentiable 3x3/s1/SAME conv on the pair-packed layout.
+
+    Forward runs the Pallas kernel; the backward (custom VJP) autodiffs
+    an equivalent stock-XLA expression (unpack -> conv -> act -> pack
+    [-> +residual]) — same pattern as :func:`conv3x3` below, so enabling
+    ``set_conv3x3_impl('pallas')`` during training is safe.
+
+    xp: (B, H, W/2, 2*cin) from :func:`pack_pairs`; weight (3, 3, cin,
+    cout); returns (B, H, W/2, 2*cout) packed.  h is the image height (for
+    the dy boundary masks).
+    """
+    cout = weight.shape[3]
+    has_bias = bias is not None
+    has_res = residual is not None
+    bi = bias if has_bias else jnp.zeros((cout,), xp.dtype)
+    res = residual if has_res else jnp.zeros((1, 1, 1, 2 * cout), xp.dtype)
+    return _packed_core(xp, weight, bi, res, h, act, alpha, mrows,
+                        interpret, has_res)
+
+
+def _packed_ref_xla(xp, weight, bias, res, h, act, alpha, has_res):
+    """Stock-XLA equivalent of the packed kernel (backward path)."""
+    x = unpack_pairs(xp)
+    y = jax.lax.conv_general_dilated(
+        x, weight.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = y + bias.astype(jnp.float32)
+    if act == "relu":
+        y = jnp.maximum(y, 0)
+    elif act == "lrelu":
+        y = jnp.where(y >= 0, y, y * alpha)
+    y = pack_pairs(y.astype(xp.dtype))
+    if has_res:
+        y = y + res
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _packed_core(xp, weight, bias, res, h, act, alpha, mrows, interpret,
+                 has_res):
+    return _packed_pallas(xp, weight, bias,
+                          residual=res if has_res else None,
+                          h=h, act=act, alpha=alpha, mrows=mrows,
+                          interpret=interpret)
+
+
+def _packed_core_fwd(xp, weight, bias, res, h, act, alpha, mrows,
+                     interpret, has_res):
+    out = _packed_core(xp, weight, bias, res, h, act, alpha, mrows,
+                       interpret, has_res)
+    return out, (xp, weight, bias, res)
+
+
+def _packed_core_bwd(h, act, alpha, mrows, interpret, has_res, saved, g):
+    xp, weight, bias, res = saved
+    _, vjp = jax.vjp(
+        lambda a, w, b, r: _packed_ref_xla(a, w, b, r, h, act, alpha,
+                                           has_res),
+        xp, weight, bias, res)
+    return vjp(g)
+
+
+_packed_core.defvjp(_packed_core_fwd, _packed_core_bwd)
+
+
+def _packed_pallas(xp: jax.Array, weight: jax.Array,
+                   bias: jax.Array | None = None, *,
+                   h: int, act: str | None = None, alpha: float = 0.1,
+                   residual: jax.Array | None = None,
+                   mrows: int | None = None,
+                   interpret: bool = False) -> jax.Array:
+    """Pallas forward of the pair-packed conv.
 
     The per-step VMEM working set (slab + A staging + three f32 dot
     outputs + pipelined out/res blocks) scales with m = mrows*wp, so the
     default picks the largest power-of-2 mrows with m <= 2048 packed
     pixels — the measured v5e ceiling (mrows=4 at wp=512; mrows=8 blows
     the 16 MB scoped limit, and wp=960 needs mrows=2).
-
-    xp: (B, H, W/2, 2*cin) from :func:`pack_pairs`; weight (3, 3, cin,
-    cout); returns (B, H, W/2, 2*cout) packed.  h is the image height (for
-    the dy boundary masks).
     """
     b, hh, wp, cin2 = xp.shape
     assert hh == h

@@ -67,6 +67,15 @@ class Trainer:
         gbs = int(opt["datasets"]["train"]["batch_size"]) \
             if opt.get("datasets", {}).get("train") else n_dev
         data_axis = math.gcd(n_dev, gbs)
+        if data_axis != n_dev and jax.process_count() > 1:
+            # a mesh over a devices() prefix would need every process to
+            # contribute addressable devices; under multi-process JAX a
+            # partial mesh hangs instead of degrading — refuse clearly
+            raise ValueError(
+                f"global batch {gbs} must be divisible by {n_dev} devices "
+                f"under multi-process JAX (process_count="
+                f"{jax.process_count()}); raise batch_size or shrink the "
+                "pool")
         if data_axis != n_dev:
             logger.warning(
                 "global batch %d not divisible by %d devices; using a "

@@ -84,21 +84,30 @@ def modcrop(img_in: np.ndarray, scale: int) -> np.ndarray:
 
 def duf_downsample(x, scale: int = 4):
     """DUF protocol downsampling: 13-tap gaussian blur (sigma 0.4*scale)
-    then decimation (utils/util.py:188-219), NHWC jnp."""
+    then decimation (utils/util.py:188-219), NHWC jnp.
+
+    Matches the reference exactly, including two quirks: the kernel is a
+    scipy ``gaussian_filter``-smoothed delta (truncated at radius
+    int(4*sigma + 0.5) inside the 13x13 window, NOT a full analytic
+    gaussian) and at scale 3 the bottom/right are reflect-extended by
+    ``3 - (dim % 3)`` rows/cols — a full extra 3 when already divisible —
+    so sizes come out ceil((dim+pad)/3)."""
     import jax
     import jax.numpy as jnp
-    from scipy.ndimage import _ni_support  # noqa: F401 (scipy presence check)
+    from scipy.ndimage import gaussian_filter
 
-    sigma = 0.4 * scale
+    assert scale in (2, 3, 4), f"scale [{scale}] is not supported"
     size = 13
     r = size // 2
-    ax = np.arange(-r, r + 1, dtype=np.float64)
-    g = np.exp(-(ax**2) / (2 * sigma**2))
-    g = (g / g.sum()).astype(np.float32)
-    k2d = np.outer(g, g)
-    c = x.shape[-1]
-    pad = r
-    x_pad = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    delta = np.zeros((size, size))
+    delta[r, r] = 1.0
+    k2d = gaussian_filter(delta, 0.4 * scale).astype(np.float32)
+    b, h, w, c = x.shape
+    r_h = r_w = 0
+    if scale == 3:
+        r_h, r_w = 3 - (h % 3), 3 - (w % 3)
+    x_pad = jnp.pad(x, ((0, 0), (r, r + r_h), (r, r + r_w), (0, 0)),
+                    mode="reflect")
     rhs = jnp.broadcast_to(jnp.asarray(k2d)[:, :, None, None],
                            (size, size, 1, c)).astype(x.dtype)
     blurred = jax.lax.conv_general_dilated(

@@ -113,3 +113,45 @@ class TestUtils:
         out = u.duf_downsample(x, scale=4)
         assert out.shape == (1, 4, 4, 3)
         np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
+
+
+@pytest.mark.slow
+class TestDufDownsampleOracle:
+    """duf_downsample vs a torch reimplementation of the reference
+    (utils/util.py:188-219), including the scale-3 r_h = 3 - dim%3 quirk
+    that reflect-extends by a full 3 when already divisible."""
+
+    @pytest.mark.parametrize("scale", [2, 3, 4])
+    @pytest.mark.parametrize("hw", [(24, 32), (23, 31), (21, 27)])
+    def test_matches_torch_reference(self, scale, hw):
+        import torch
+        import torch.nn.functional as F
+        from scipy.ndimage import gaussian_filter
+
+        H, W = hw
+
+        def torch_ref(x, scale):
+            delta = np.zeros((13, 13))
+            delta[6, 6] = 1.0
+            B, T, C, H, W = x.shape
+            x = x.reshape(-1, 1, H, W)
+            pad = 6 + scale * 2
+            r_h = r_w = 0
+            if scale == 3:
+                r_h, r_w = 3 - (H % 3), 3 - (W % 3)
+            x = F.pad(x, [pad, pad + r_w, pad, pad + r_h], "reflect")
+            gf = torch.from_numpy(
+                gaussian_filter(delta, 0.4 * scale)).type_as(x)[None, None]
+            x = F.conv2d(x, gf, stride=scale)
+            x = x[:, :, 2:-2, 2:-2]
+            return x.reshape(B, T, C, x.size(2), x.size(3))
+
+        rng = np.random.default_rng(scale * 100 + H)
+        xn = rng.normal(size=(1, 2, 3, H, W)).astype(np.float32)
+        ref = torch_ref(torch.from_numpy(xn), scale).numpy()
+        got = np.asarray(u.duf_downsample(
+            jnp.asarray(xn.transpose(0, 1, 3, 4, 2).reshape(2, H, W, 3)),
+            scale))
+        assert ref.shape[-2:] == got.shape[1:3]
+        np.testing.assert_allclose(
+            ref.transpose(0, 1, 3, 4, 2).reshape(got.shape), got, atol=2e-6)

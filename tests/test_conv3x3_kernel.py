@@ -89,3 +89,32 @@ def test_model_packed_chain_parity():
     finally:
         set_conv3x3_impl("xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_custom_vjp_matches_xla_grad():
+    """conv3x3_packed's custom VJP (act + residual + bias) vs autodiff of
+    the plain XLA expression — packed_io is now training-safe (advisor
+    round-3 low finding)."""
+    rng = np.random.default_rng(3)
+    b, h, w, c = 1, 8, 32, 64
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+    wgt = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+    res = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+
+    def lp(x, w, bi, r):
+        o = unpack_pairs(conv3x3_packed(
+            pack_pairs(x), w, bi, h=h, act="lrelu",
+            residual=pack_pairs(r), mrows=4, interpret=True))
+        return jnp.sum(jnp.sin(o))
+
+    def lr(x, w, bi, r):
+        o = _ref(x, w, bi)
+        o = jnp.where(o >= 0, o, o * 0.1) + r
+        return jnp.sum(jnp.sin(o))
+
+    gp = jax.grad(lp, argnums=(0, 1, 2, 3))(x, wgt, bias, res)
+    gr = jax.grad(lr, argnums=(0, 1, 2, 3))(x, wgt, bias, res)
+    for name, a, b_ in zip(["dx", "dw", "dbias", "dres"], gr, gp):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=2e-4, err_msg=name)

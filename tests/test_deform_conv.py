@@ -279,3 +279,88 @@ class TestFrameKernelVJP:
 
         doff = jax.grad(f)(off)
         np.testing.assert_array_equal(np.asarray(doff), 0.0)
+
+
+class TestFoldDpgOverlapAdd:
+    """_fold_dpg vs a numpy overlap-add reference (advisor round-3 high:
+    when pc % bc != 0 the last row chunk's dynamic_update_slice start used
+    to clamp, misplacing that chunk's dx gradient by bc - pc%bc rows)."""
+
+    @pytest.mark.parametrize("bh,cpg,r,h,w", [
+        (4, 8, 3, 12, 20),    # pc=112, bc=32, pc%bc=16 (frame default geom)
+        (8, 8, 3, 24, 40),    # pc=144, bc=64, pc%bc=16
+        (4, 16, 3, 12, 20),   # pc=208, bc=64, pc%bc=16
+        (8, 16, 3, 16, 24),   # pc%bc == 0 control
+    ])
+    def test_matches_numpy_reference(self, bh, cpg, r, h, w):
+        from realvsr_tpu.ops.deform_conv_block import _fold_dpg, _frame_geom
+
+        b, dg, bw = 1, 2, 64
+        g = _frame_geom(h, w, cpg, r, bh, bw)
+        nby, nbx, phr = g["nby"], g["nbx"], g["phr"]
+        pc, bc = phr * cpg, bh * cpg
+        ph = g["ph"]
+        hp2 = h + g["h_pad"] + 2 * r + 3 + (phr - ph)
+        wp2 = w + g["w_pad"] + 2 * r + 3
+        wfull = (nbx - 1) * bw + 128
+        rng = np.random.default_rng(bh * 100 + cpg)
+        # random content everywhere, INCLUDING the last row chunk
+        dpg = rng.normal(size=(b * nby * nbx, dg, pc, 128)).astype(np.float32)
+
+        got = np.asarray(_fold_dpg(
+            jnp.asarray(dpg), b=b, dg=dg, cpg=cpg, bh=bh, bw=bw, r=r,
+            h=h, w=w, geom=g, hp2=hp2, wp2=wp2, wfull=wfull,
+            out_dtype=jnp.float32))
+
+        # reference: plain += overlap-add of each block's halo window
+        d = dpg.reshape(b, nby, nbx, dg, pc, 128)
+        hfull = (nby - 1) * bc + pc
+        acc = np.zeros((b, dg, hfull, wfull), np.float32)
+        for by in range(nby):
+            for bx in range(nbx):
+                acc[:, :, by * bc:by * bc + pc,
+                    bx * bw:bx * bw + 128] += d[:, by, bx]
+        acc = np.pad(acc, ((0, 0), (0, 0), (0, hp2 * cpg - hfull), (0, 0)))
+        acc = acc[:, :, :, :wp2]
+        acc = acc.reshape(b, dg, hp2, cpg, wp2).transpose(0, 2, 1, 3, 4)
+        acc = acc.reshape(b, hp2, dg * cpg, wp2).transpose(0, 1, 3, 2)
+        want = acc[:, r + 1:r + 1 + h, r + 1:r + 1 + w]
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.slow
+class TestFrameVJPBoundaryOffsets:
+    def test_frame_vjp_offsets_at_clamp(self):
+        """Offsets pinned to exactly +/-r (quantized): boundary hat rows
+        carry gradient, exercising the last _fold_dpg row chunk that the
+        clipped-offset VJP test never reaches (advisor round-3 medium)."""
+        from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
+
+        rng = np.random.default_rng(7)
+        b, h, w, cin, dgq, r = 1, 12, 20, 16, 2, 3
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+        sign = rng.integers(0, 2, size=(b, h, w, dgq * 18)) * 2 - 1
+        off = jnp.asarray(sign * float(r), jnp.float32)
+        m = jnp.asarray(rng.uniform(size=(b, h, w, dgq * 9)), jnp.float32)
+        wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 8)) * 0.2, jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+        gseed = jnp.asarray(rng.normal(size=(b, h, w, 8)), jnp.float32)
+
+        def loss(use_frame):
+            def f(x, off, m, wgt, bias):
+                o = modulated_deform_conv_block(
+                    x, off, m, wgt, bias, 1, dgq, max_offset=r,
+                    use_pallas="frame" if use_frame else False,
+                    pallas_interpret=use_frame)
+                return jnp.sum(o * gseed)
+            return f
+
+        gb = jax.grad(loss(False), argnums=(0, 2, 3, 4))(x, off, m, wgt, bias)
+        gf = jax.grad(loss(True), argnums=(0, 2, 3, 4))(x, off, m, wgt, bias)
+        # doff is excluded: at exactly integer sampling positions the
+        # bilinear-weight derivative is a subgradient choice that may
+        # legitimately differ between the two implementations
+        for name, a, b_ in zip(["dx", "dmask", "dw", "dbias"], gb, gf):
+            sc = max(1e-6, float(np.abs(np.asarray(a)).max()))
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a), atol=5e-6 * sc, err_msg=name)

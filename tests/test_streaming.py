@@ -54,3 +54,29 @@ def test_streaming_scan_matches_run(small_model):
     a = np.asarray(runner.run(frames))
     b = np.asarray(runner.run_scan(frames))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_streaming_edvr_x4_matches_full_model():
+    """EDVR (x4 upsampling) now supports the pyramid/fuse split modes
+    (advisor round-3 low: StreamingRunner claimed EDVR support but only
+    EDVRNoUp accepted the mode kwarg)."""
+    from realvsr_tpu.models.edvr import EDVR
+
+    model = EDVR(nf=16, nc=3, nframes=3, groups=4, front_RBs=2,
+                 back_RBs=2, predeblur=False, HR_in=False, w_TSA=False)
+    params = model.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, 3, 16, 16, 3)))["params"]
+    rng = np.random.default_rng(4)
+    frames = jnp.asarray(rng.uniform(size=(4, 16, 24, 3)), jnp.float32)
+
+    runner = StreamingRunner(model, params, padding="replicate")
+    stream_out = np.asarray(runner.run(frames))
+    assert stream_out.shape == (4, 64, 96, 3)
+
+    full = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    for t in range(frames.shape[0]):
+        sel = index_generation(t, frames.shape[0], 3, padding="replicate")
+        window = frames[jnp.asarray(sel)][None]
+        ref = np.asarray(full(params, window))[0]
+        np.testing.assert_allclose(stream_out[t], ref, atol=2e-5,
+                                   err_msg=f"frame {t}")
