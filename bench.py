@@ -30,11 +30,11 @@ ITERS = 10
 REPS = 3
 
 
-def _measure(model, params, h, w):
+def _measure(model, params, h, w, batch=1):
     import jax
     import jax.numpy as jnp
 
-    x = jnp.zeros((1, NFRAMES, h, w, 3), jnp.bfloat16)
+    x = jnp.zeros((batch, NFRAMES, h, w, 3), jnp.bfloat16)
 
     def make(n):
         @jax.jit
@@ -65,7 +65,7 @@ def _measure(model, params, h, w):
         float(run_1(params, x))
         times_1.append(time.perf_counter() - t0)
     dt = (min(times_n) - min(times_1)) / (ITERS - 1)
-    return 1.0 / dt
+    return batch / dt
 
 
 def main():
@@ -113,6 +113,18 @@ def main():
                   file=sys.stderr)
         except Exception as e:  # pragma: no cover
             print(f"secondary 1080p measurement failed: {e}", file=sys.stderr)
+
+    # batched multi-clip throughput (BASELINE.json config #5): frames/s/chip
+    # is a throughput metric — B>1 amortizes per-call glue and fills the MXU
+    for b in (2, 4):
+        try:
+            fps_b = _measure(model, params, 512, 1024, batch=b)
+            print(f"secondary: 1024x512 BATCHED B={b} inference "
+                  f"{fps_b:.4f} frames/s/chip", file=sys.stderr)
+        except Exception as e:  # pragma: no cover — OOM at large batch
+            print(f"secondary B={b} measurement failed: {e}",
+                  file=sys.stderr)
+            break
 
     try:
         fps_stream = _measure_streaming(model, params)

@@ -300,7 +300,8 @@ def _frame_geom(h, w, cpg, r, bh, bw):
         phr=-(-(bh + 2 * r + 3) * cpg // 16) * 16 // cpg)
 
 
-def _frame_prep(x, offset, mask, weight, *, dg, cpg, r, bh, bw, k, kw, dt):
+def _frame_prep(x, offset, mask, weight, *, dg, cpg, r, bh, bw, k, kw, dt,
+                relayout: str = "two_stage"):
     """Kernel-input prep shared by forward and backward: halo column
     panels, fixed-point int16 positions (one fused elementwise transform +
     one relayout — the v7 f32 coords stack profiler-attributed at
@@ -313,7 +314,8 @@ def _frame_prep(x, offset, mask, weight, *, dg, cpg, r, bh, bw, k, kw, dt):
     h_pad, w_pad, nby, nbx = g["h_pad"], g["w_pad"], g["nby"], g["nbx"]
     ph, pw, phr = g["ph"], g["pw"], g["phr"]
     n_all = b * nby * nbx
-    qn = bh * bw * k
+    p = bh * bw
+    qn = p * k
     # padded frame with the halo origin and enough rows for phr slabs
     xg = jnp.pad(
         x.astype(dt),
@@ -340,28 +342,67 @@ def _frame_prep(x, offset, mask, weight, *, dg, cpg, r, bh, bw, k, kw, dt):
     fy, fx = fx_scales(ph, pw)
     hh, ww = h + h_pad, w + w_pad
     dk2 = dg * k * 2
-    ci = jnp.arange(dk2)
-    tap = (ci // 2) % k
-    is_y = (ci % 2) == 0
-    base_t = jnp.where(is_y, tap // kw, tap % kw).astype(jnp.float32) + r
-    scale = jnp.where(is_y, float(fy), float(fx))
-    py = (jnp.arange(hh) % bh).astype(jnp.float32)[:, None, None]
-    px = (jnp.arange(ww) % bw).astype(jnp.float32)[None, :, None]
-    pos = jnp.where(is_y, py, px) + base_t           # (hh, ww, dk2)
-    offp = jnp.pad(offset.reshape(b, h, w, dk2),
-                   ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
-    val = (jnp.clip(offp.astype(jnp.float32), -float(r), float(r)) + pos)
-    fxp = jnp.round(val * scale).astype(jnp.int16)   # (b, hh, ww, dk2)
-    # one relayout -> rows (g, comp) with q = (tap, y, x) tap-major
-    lyx = fxp.reshape(b, nby, bh, nbx, bw, dg, k, 2).transpose(
-        0, 1, 3, 5, 7, 6, 2, 4).reshape(n_all, dg * 2, qn)
-    if mask is None:
-        m_q = jnp.ones((n_all, dg, qn), dt)
+    if relayout == "two_stage":
+        # channel order (dg, comp, k): the encode's input gather pulls the
+        # (dg, k, 2) offset channels into comp-major order so the q-major
+        # emit below is [block-gather with intact minor dims] + [one clean
+        # batched (p, c) -> (c, p) minor-2D transpose] instead of the 8D
+        # transpose XLA lowered as 3 copy stages (~7.6 ms/full-res call,
+        # PERF_NOTES round-3 trace)
+        ci = jnp.arange(dk2)
+        gix = ci // (2 * k)
+        comp = (ci // k) % 2
+        tap = ci % k
+        src = gix * (2 * k) + tap * 2 + comp
+        base_t = jnp.where(comp == 0, tap // kw, tap % kw).astype(
+            jnp.float32) + r
+        scale = jnp.where(comp == 0, float(fy), float(fx))
+        py = (jnp.arange(hh) % bh).astype(jnp.float32)[:, None, None]
+        px = (jnp.arange(ww) % bw).astype(jnp.float32)[None, :, None]
+        pos = jnp.where(comp == 0, py, px) + base_t      # (hh, ww, dk2)
+        offp = jnp.pad(offset.reshape(b, h, w, dk2),
+                       ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))[..., src]
+        val = (jnp.clip(offp.astype(jnp.float32), -float(r), float(r))
+               + pos)
+        fxp = jnp.round(val * scale).astype(jnp.int16)   # (b,hh,ww,(g,c,k))
+        t1 = fxp.reshape(b, nby, bh, nbx, bw, dk2).transpose(
+            0, 1, 3, 2, 4, 5)                            # minor dims intact
+        lyx = t1.reshape(n_all, p, dk2).transpose(0, 2, 1).reshape(
+            n_all, dg * 2, qn)                           # q = (k, p) free
+        if mask is None:
+            m_q = jnp.ones((n_all, dg, qn), dt)
+        else:
+            mp = jnp.pad(mask.reshape(b, h, w, dg * k).astype(dt),
+                         ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+            m1 = mp.reshape(b, nby, bh, nbx, bw, dg * k).transpose(
+                0, 1, 3, 2, 4, 5)
+            m_q = m1.reshape(n_all, p, dg * k).transpose(0, 2, 1).reshape(
+                n_all, dg, qn)
     else:
-        mp = jnp.pad(mask.reshape(b, h, w, dg * k).astype(dt),
-                     ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
-        m_q = mp.reshape(b, nby, bh, nbx, bw, dg, k).transpose(
-            0, 1, 3, 5, 6, 2, 4).reshape(n_all, dg, qn)
+        ci = jnp.arange(dk2)
+        tap = (ci // 2) % k
+        is_y = (ci % 2) == 0
+        base_t = jnp.where(is_y, tap // kw, tap % kw).astype(
+            jnp.float32) + r
+        scale = jnp.where(is_y, float(fy), float(fx))
+        py = (jnp.arange(hh) % bh).astype(jnp.float32)[:, None, None]
+        px = (jnp.arange(ww) % bw).astype(jnp.float32)[None, :, None]
+        pos = jnp.where(is_y, py, px) + base_t           # (hh, ww, dk2)
+        offp = jnp.pad(offset.reshape(b, h, w, dk2),
+                       ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+        val = (jnp.clip(offp.astype(jnp.float32), -float(r), float(r))
+               + pos)
+        fxp = jnp.round(val * scale).astype(jnp.int16)   # (b, hh, ww, dk2)
+        # one relayout -> rows (g, comp) with q = (tap, y, x) tap-major
+        lyx = fxp.reshape(b, nby, bh, nbx, bw, dg, k, 2).transpose(
+            0, 1, 3, 5, 7, 6, 2, 4).reshape(n_all, dg * 2, qn)
+        if mask is None:
+            m_q = jnp.ones((n_all, dg, qn), dt)
+        else:
+            mp = jnp.pad(mask.reshape(b, h, w, dg * k).astype(dt),
+                         ((0, 0), (0, h_pad), (0, w_pad), (0, 0)))
+            m_q = mp.reshape(b, nby, bh, nbx, bw, dg, k).transpose(
+                0, 1, 3, 5, 6, 2, 4).reshape(n_all, dg, qn)
     wt_g = weight.astype(dt).reshape(k, dg, cpg, cout).transpose(
         1, 0, 2, 3).reshape(dg * k * cpg, cout)
     return xp, lyx, m_q, wt_g, g, (hp2, wp2, wfull)
