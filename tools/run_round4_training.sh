@@ -1,22 +1,31 @@
 #!/bin/bash
-# Round-4 TPU training bundle: the bf16-vs-f32 convergence pair
-# (VERDICT round-2 item 9 — did not fit round 3's chip budget alongside
-# the clamp de-circularization run, which completed: see PERF_NOTES
-# round-3).  Each arm owns the chip; same seed/data; loss + val-PSNR
-# curves land in the two experiment logs.
-# Measured planning rates (round 3): frame-kernel train step compiles in
-# ~10-22 min; 96^2 batch-8 bf16 runs 3.03 it/s, 192^2 batch-4 ~1 it/s
-# -> 8000 iters/arm ~= 2.4 h + compile.  The trainer checkpoints on
-# SIGTERM, so timeout-bounding is safe.
+# Round-4 TPU training bundle (VERDICT round-3 items 4, 5, 6):
+#   1. bf16 arm, 20k iters (configs/train/bf16_vs_f32_motion.yml as-is)
+#      — also the flagship quality model for the held-out table.
+#   2. f32 arm, 8k iters (mixed_precision overridden to false) — same
+#      seed/data/schedule, so iters 0-8000 compare directly.
+#   3. GAN-Split, 3k iters finetuning from the 20k checkpoint
+#      (configs/train/gan_motion_3k.yml).
+# Each run owns the chip; the trainer checkpoints on SIGTERM, so the
+# timeouts are safe.  Loss / val-PSNR curves land in the experiment logs.
+# Measured planning rates (round 3): 96^2 batch-8 bf16 = 3.03 it/s;
+# frame-kernel train step compiles in ~10-22 min.
+set -u
 cd /root/repo
 mkdir -p experiments
-echo "[$(date)] bf16 arm starting"
-timeout 10800 python tools/train.py -opt configs/train/bf16_vs_f32_motion.yml \
+echo "[$(date)] bf16 arm (20k) starting"
+timeout 12600 python tools/train.py -opt configs/train/bf16_vs_f32_motion.yml \
   --dcn_impl frame > experiments/bf16_arm.log 2>&1
+echo "[$(date)] bf16 arm done (rc=$?)"
 sed -e 's/mixed_precision: true/mixed_precision: false/' \
     -e 's/^name: bf16_vs_f32_motion/name: f32_vs_bf16_motion/' \
+    -e 's/niter: 20000/niter: 8000/' \
     configs/train/bf16_vs_f32_motion.yml > /tmp/f32_arm.yml
-echo "[$(date)] f32 arm starting"
+echo "[$(date)] f32 arm (8k) starting"
 timeout 10800 python tools/train.py -opt /tmp/f32_arm.yml \
   --dcn_impl frame > experiments/f32_arm.log 2>&1
-echo "[$(date)] pair done — diff the loss columns of the two logs"
+echo "[$(date)] f32 arm done (rc=$?)"
+echo "[$(date)] GAN-Split (3k) starting"
+timeout 9000 python tools/train.py -opt configs/train/gan_motion_3k.yml \
+  --dcn_impl frame > experiments/gan_motion.log 2>&1
+echo "[$(date)] GAN done (rc=$?) — bundle complete"
