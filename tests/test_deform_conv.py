@@ -364,3 +364,30 @@ class TestFrameVJPBoundaryOffsets:
             sc = max(1e-6, float(np.abs(np.asarray(a)).max()))
             np.testing.assert_allclose(
                 np.asarray(b_), np.asarray(a), atol=5e-6 * sc, err_msg=name)
+
+
+class TestFramePrepRelayouts:
+    """The round-4 'two_stage' prep relayout (block-gather + batched
+    minor-2D transpose) must produce bit-identical kernel inputs to the
+    round-3 single-8D-transpose path — same q = (tap, y, x) layout for
+    positions and mask, same panels and weights."""
+
+    @pytest.mark.parametrize("h,w,maskless", [(12, 20, False), (24, 40, True)])
+    def test_two_stage_matches_one_shot(self, h, w, maskless):
+        from realvsr_tpu.ops.deform_conv_block import _frame_prep
+
+        rng = np.random.default_rng(77)
+        b, cin, dg, r, bh, bw = 2, 16, 4, 3, 4, 64
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+        off = jnp.asarray(rng.normal(size=(b, h, w, dg * 18)) * 2,
+                          jnp.float32)
+        m = (None if maskless else
+             jnp.asarray(rng.uniform(size=(b, h, w, dg * 9)), jnp.float32))
+        wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 8)) * 0.2, jnp.float32)
+        statics = dict(dg=dg, cpg=cin // dg, r=r, bh=bh, bw=bw, k=9, kw=3,
+                       dt=jnp.float32)
+        a = _frame_prep(x, off, m, wgt, relayout="two_stage", **statics)
+        b_ = _frame_prep(x, off, m, wgt, relayout="one_shot", **statics)
+        for name, ta, tb in zip(("xp", "lyx", "m_q", "wt_g"), a, b_):
+            np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb),
+                                          err_msg=name)
