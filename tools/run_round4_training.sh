@@ -12,7 +12,12 @@
 # frame-kernel train step compiles in ~10-22 min.
 set -u
 cd /root/repo
-mkdir -p experiments
+mkdir -p experiments /root/jax_cache
+# persistent compilation cache: identical train-step graphs (e.g. the
+# f32->bf16 arm pair sharing shapes, or a resume) skip the 10-22 min
+# Mosaic compile on re-runs when the backend supports serialization
+export JAX_COMPILATION_CACHE_DIR=/root/jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=10
 echo "[$(date)] bf16 arm (20k) starting"
 timeout 12600 python tools/train.py -opt configs/train/bf16_vs_f32_motion.yml \
   --dcn_impl frame > experiments/bf16_arm.log 2>&1
