@@ -77,6 +77,31 @@ def _decode_all(lyx_block, ly2, lx2, dt):
     return q0, frac * scale
 
 
+def _hats_batched(q0, frac, io_q, io_p, dg, dt):
+    """v10 candidate: build the lerp hats for ALL groups in one pair of
+    wide VPU expressions — (phr, dg*q) and (pw_built, dg*q) — instead of
+    dg separate builds.  Same element count, 8x fewer op dispatches; the
+    per-group matmuls slice lane-aligned column panels (q % 128 == 0).
+
+    q0/frac: (2*dg, q) as from :func:`_decode_all`.  Returns wy
+    (phr, dg*q), wx (128, dg*q) with zero tail rows."""
+    rows, q = q0.shape
+    phr = io_p.shape[0]
+    pw_built = io_q.shape[0]
+    # y rows (even) and x rows (odd) side by side: (dg, q) -> (1, dg*q)
+    y0 = q0[0::2, :].reshape(1, dg * q)
+    ty = frac[0::2, :].reshape(1, dg * q)
+    x0 = q0[1::2, :].reshape(1, dg * q)
+    tx = frac[1::2, :].reshape(1, dg * q)
+    one = jnp.asarray(1.0, dt)
+    wy = jnp.maximum(one - jnp.abs((io_p - y0).astype(dt) - ty), 0)
+    wx = jnp.maximum(one - jnp.abs((io_q - x0).astype(dt) - tx), 0)
+    if pw_built < 128:
+        wx = jnp.concatenate(
+            [wx, jnp.zeros((128 - pw_built, dg * q), dt)], axis=0)
+    return wy, wx
+
+
 def _hats(q0, frac, g, io_q, io_p, ph, pw, phr, dt, use_roll):
     """One-hot lerp hats for group g as SSA VALUES (no scratch refs — ref
     reuse across the group loop serializes VPU builds against the previous
@@ -108,8 +133,12 @@ def _hats(q0, frac, g, io_q, io_p, ph, pw, phr, dt, use_roll):
 
 
 def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, s_ref,
-            sem_ref, *, p, k, dg, cpg, ph, pw, bh, nby, nbx,
+            *maybe_hat_refs, p, k, dg, cpg, ph, pw, bh, nby, nbx,
             ly2, lx2, fold, hat, use_roll, gemm):
+    if hat == "batched":
+        wy_all_ref, wx_all_ref, sem_ref = maybe_hat_refs
+    else:
+        (sem_ref,) = maybe_hat_refs
     dt = out_ref.dtype
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -141,8 +170,18 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, s_ref,
     io_q = jax.lax.broadcasted_iota(jnp.int32, (pw_built, 1), 0)
     io_p = jax.lax.broadcasted_iota(jnp.int32, (phr, 1), 0)
     q0, frac = _decode_all(lyx_ref[0], ly2, lx2, dt)
+    qn = p * k
+    if hat == "batched":
+        wy_all, wx_all = _hats_batched(q0, frac, io_q, io_p, dg, dt)
+        wy_all_ref[:, :] = wy_all
+        wx_all_ref[:, :] = wx_all
     for g in range(dg):
-        wy, wx = _hats(q0, frac, g, io_q, io_p, ph, pw, phr, dt, use_roll)
+        if hat == "batched":
+            wy = wy_all_ref[:, g * qn:(g + 1) * qn]
+            wx = wx_all_ref[:, g * qn:(g + 1) * qn]
+        else:
+            wy, wx = _hats(q0, frac, g, io_q, io_p, ph, pw, phr, dt,
+                           use_roll)
         mask = m_ref[0, g:g + 1, :].astype(dt)
         pg = slab_ref[slot, g].reshape(phr * cpg, 128)
         h = jnp.dot(pg, wx,
@@ -241,6 +280,9 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
     def out_index(i):
         return (i // nbyx, (i % nbyx) // nbx, i % nbx, 0)
 
+    hat_scratch = ([pltpu.VMEM((phr, dg * q), dt),
+                    pltpu.VMEM((128, dg * q), dt)]
+                   if hat == "batched" else [])
     out = pl.pallas_call(
         kern,
         grid=(n_all,),
@@ -258,6 +300,7 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((2, dg, phr * cpg, 128), dt),
             s_scratch,
+            *hat_scratch,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(

@@ -391,3 +391,24 @@ class TestFramePrepRelayouts:
         for name, ta, tb in zip(("xp", "lyx", "m_q", "wt_g"), a, b_):
             np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb),
                                           err_msg=name)
+
+
+class TestFrameHatVariants:
+    def test_batched_hats_bit_identical(self):
+        """hat='batched' (all-group wide hat builds, v10 candidate) must be
+        bit-identical to the per-group int32 tent build."""
+        from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
+
+        rng = np.random.default_rng(33)
+        b, h, w, cin, dgq, r = 2, 24, 40, 16, 4, 3
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+        off = jnp.asarray(
+            np.clip(rng.normal(size=(b, h, w, dgq * 18)) * 2, -r + .2, r - .2),
+            jnp.float32)
+        m = jnp.asarray(rng.uniform(size=(b, h, w, dgq * 9)), jnp.float32)
+        wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 8)) * 0.2, jnp.float32)
+        args = (x, off, m, wgt, None, 1, dgq)
+        kw = dict(max_offset=r, use_pallas="frame", pallas_interpret=True)
+        ref = modulated_deform_conv_block(*args, **kw)
+        bat = modulated_deform_conv_block(*args, frame_hat="batched", **kw)
+        np.testing.assert_array_equal(np.asarray(bat), np.asarray(ref))

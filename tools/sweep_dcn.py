@@ -64,8 +64,8 @@ def main():
     m = jnp.asarray(rng.uniform(size=(b, h, w, dg * 9)), jnp.bfloat16)
     wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 64)) * 0.1, jnp.bfloat16)
 
-    geoms = [(4, 64), (2, 64), (2, 96), (4, 96)]
-    folds = ["bf16", "int32"]  # hat-build dtype this round; fold = slices
+    geoms = [(4, 64)]
+    folds = ["int32", "batched"]  # round-4: per-group tent vs all-group wide builds
     for geom in geoms:
         for fold in folds:
             # off/m/wgt must be jit ARGUMENTS — closed-over they become HLO
