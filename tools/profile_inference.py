@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--w", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--impl", default="frame")
+    ap.add_argument("--conv3x3", default="pallas",
+                    help="conv3x3 impl (pallas matches bench.py; xla)")
     ap.add_argument("--outdir", default="/tmp/edvr_trace")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -38,11 +40,18 @@ def main():
     from realvsr_tpu.ops.deform_conv import set_default_impl
 
     set_default_impl(args.impl, block_max_offset=4, block_chunk=128)
+    if args.conv3x3 != "xla":
+        from realvsr_tpu.models.common import set_conv3x3_impl
+
+        set_conv3x3_impl(args.conv3x3)
     model = EDVRNoUp(nf=64, nc=3, nframes=3, groups=8, front_RBs=5,
                      back_RBs=10, predeblur=False, HR_in=False, w_TSA=False,
                      dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 3, 64, 64, 3), jnp.float32))["params"]
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)  # deployment form, matches bench.py
     x = jnp.zeros((1, 3, args.h, args.w, 3), jnp.bfloat16)
 
     @jax.jit
