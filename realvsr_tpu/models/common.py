@@ -109,6 +109,7 @@ class Conv2d(nn.Module):
     dtype: Dtype = jnp.float32
     packed_io: bool = False
     fused_act: str | None = None
+    unpack_out: bool = False  # packed_io chains: epilogue emits plain NHWC
 
     @nn.compact
     def __call__(self, x, residual=None):
@@ -130,6 +131,7 @@ class Conv2d(nn.Module):
                 x, kernel.astype(self.dtype),
                 None if bias is None else bias.astype(self.dtype),
                 h=x.shape[1], act=self.fused_act, residual=residual,
+                unpack_out=self.unpack_out,
                 interpret=_CONV3X3_IMPL["mode"] == "pallas_interpret")
         cin = x.shape[-1]
         fan_in = k[0] * k[1] * (cin // self.feature_group_count)
@@ -169,6 +171,7 @@ class ResidualBlockNoBN(nn.Module):
     nf: int = 64
     dtype: Dtype = jnp.float32
     packed_io: bool = False
+    unpack_out: bool = False  # last block of a packed chain: conv2 emits NHWC
 
     @nn.compact
     def __call__(self, x):
@@ -181,7 +184,7 @@ class ResidualBlockNoBN(nn.Module):
             out = nn.relu(out)
         out = Conv2d(self.nf, 3, kernel_init=scaled_kaiming_normal(0.1),
                      bias_init=nn.initializers.zeros, dtype=self.dtype,
-                     packed_io=self.packed_io,
+                     packed_io=self.packed_io, unpack_out=self.unpack_out,
                      name="conv2")(out, residual=x if self.packed_io else None)
         if self.packed_io:
             return out
@@ -210,16 +213,23 @@ def make_layer(block_cls, n: int, **kwargs) -> Sequence[nn.Module]:
 
 
 class Blocks(nn.Module):
-    """Sequential stack of residual blocks."""
+    """Sequential stack of residual blocks.
+
+    ``final_kwargs`` overrides block kwargs for the LAST block only (used
+    to make a packed chain's final conv emit plain NHWC)."""
 
     block: Callable[..., nn.Module]
     num: int
     block_kwargs: dict
+    final_kwargs: dict | None = None
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num):
-            x = self.block(**self.block_kwargs, name=f"block{i}")(x)
+            kw = dict(self.block_kwargs)
+            if self.final_kwargs and i == self.num - 1:
+                kw.update(self.final_kwargs)
+            x = self.block(**kw, name=f"block{i}")(x)
         return x
 
 
