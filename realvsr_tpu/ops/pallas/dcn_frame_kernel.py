@@ -336,13 +336,19 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
 
 
 def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
-                dw_ref, slab_ref, wx_ref, wy_ref, h_ref, s_ref, sem_ref, *,
-                p, k, dg, cpg, ph, pw, bh, nby, nbx, ly2, lx2):
+                dw_ref, slab_ref, wx_ref, wy_ref, h_ref, s_ref,
+                *maybe_hat_refs, p, k, dg, cpg, ph, pw, bh, nby, nbx,
+                ly2, lx2, hat):
+    if hat == "batched":
+        wxt_all_ref, exd_all_ref, sem_ref = maybe_hat_refs
+    else:
+        (sem_ref,) = maybe_hat_refs
     dt = slab_ref.dtype
     i = pl.program_id(0)
     n = pl.num_programs(0)
     phr = slab_ref.shape[2] // cpg
     pw_built = _round_up(pw, 16)
+    qn = p * k
 
     def slab_dma(slot, blk):
         b = blk // (nby * nbx)
@@ -370,6 +376,18 @@ def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
 
     io_q = jax.lax.broadcasted_iota(jnp.int32, (pw_built, 1), 0)
     io_p = jax.lax.broadcasted_iota(jnp.int32, (phr, 1), 0)
+    if hat == "batched":
+        # x-axis tent + derivative hats for ALL groups in two wide builds
+        # (the two (128, dg*q) matrices dominate the per-group VPU cost)
+        q0a, fraca = _decode_all(lyx_ref[0], ly2, lx2, dt)
+        x0a = q0a[1::2, :].reshape(1, dg * qn)
+        txa = fraca[1::2, :].reshape(1, dg * qn)
+        one = jnp.asarray(1.0, dt)
+        wxa = jnp.maximum(one - jnp.abs((io_q - x0a).astype(dt) - txa), 0)
+        exda = ((io_q == x0a + 1).astype(dt) - (io_q == x0a).astype(dt))
+        zpad = jnp.zeros((128 - pw_built, dg * qn), dt)
+        wxt_all_ref[:, :] = jnp.concatenate([wxa, zpad], axis=0)
+        exd_all_ref[:, :] = jnp.concatenate([exda, zpad], axis=0)
     gout = g_ref[0].reshape(p, g_ref.shape[-1])
     # dS = W @ G^T: (K, p)
     dS = jax.lax.dot_general(
@@ -392,20 +410,26 @@ def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
 
     for g in range(dg):
         lyi = lyx_ref[0, 2 * g:2 * g + 1, :].astype(jnp.int32)
-        lxi = lyx_ref[0, 2 * g + 1:2 * g + 2, :].astype(jnp.int32)
-        y2c, x2c = jnp.int32(ly2), jnp.int32(lx2)
+        y2c = jnp.int32(ly2)
         y0i = jax.lax.shift_right_logical(lyi, y2c)
         ty = (lyi - jax.lax.shift_left(y0i, y2c)).astype(dt) * (2.0 ** -ly2)
-        x0i = jax.lax.shift_right_logical(lxi, x2c)
-        tx = (lxi - jax.lax.shift_left(x0i, x2c)).astype(dt) * (2.0 ** -lx2)
         mask = m_ref[0, g:g + 1, :].astype(dt)
         e0y = (io_p == y0i).astype(dt)
         e1y = (io_p == y0i + 1).astype(dt)
         wy_ref[:, :] = e0y * (1 - ty) + e1y * ty
-        wx_ref[0:pw_built, :] = ((io_q == x0i).astype(dt) * (1 - tx)
-                                 + (io_q == x0i + 1).astype(dt) * tx)
+        if hat == "batched":
+            wx_cur = wxt_all_ref[:, g * qn:(g + 1) * qn]
+        else:
+            lxi = lyx_ref[0, 2 * g + 1:2 * g + 2, :].astype(jnp.int32)
+            x2c = jnp.int32(lx2)
+            x0i = jax.lax.shift_right_logical(lxi, x2c)
+            tx = (lxi - jax.lax.shift_left(x0i, x2c)).astype(dt) \
+                * (2.0 ** -lx2)
+            wx_ref[0:pw_built, :] = ((io_q == x0i).astype(dt) * (1 - tx)
+                                     + (io_q == x0i + 1).astype(dt) * tx)
+            wx_cur = wx_ref[:, :]
         pg = slab_ref[slot, g].reshape(phr * cpg, 128)
-        h_ref[:, :] = jnp.dot(pg, wx_ref[:, :],
+        h_ref[:, :] = jnp.dot(pg, wx_cur,
                               preferred_element_type=jnp.float32).astype(dt)
         h = h_ref[:, :]
         s_nm = fold(h, wy_ref[:, :])          # unmasked samples (cpg, q)
@@ -433,14 +457,18 @@ def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
         for pp in range(phr):
             h_ref[pp * cpg:(pp + 1) * cpg, :] = dsm * wy_ref[pp:pp + 1, :]
         dpg_ref[0, g] = jax.lax.dot_general(
-            h_ref[:, :], wx_ref[:, :], (((1,), (1,)), ((), ())),
+            h_ref[:, :], wx_cur, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dt).reshape(
                 dpg_ref.shape[2:])
 
-        # d/d tx: horizontal derivative hat, reusing wx_ref storage
-        wx_ref[0:pw_built, :] = ((io_q == x0i + 1).astype(dt)
-                                 - (io_q == x0i).astype(dt))
-        hx = jnp.dot(pg, wx_ref[:, :],
+        # d/d tx: horizontal derivative hat
+        if hat == "batched":
+            exd_cur = exd_all_ref[:, g * qn:(g + 1) * qn]
+        else:
+            wx_ref[0:pw_built, :] = ((io_q == x0i + 1).astype(dt)
+                                     - (io_q == x0i).astype(dt))
+            exd_cur = wx_ref[:, :]
+        hx = jnp.dot(pg, exd_cur,
                      preferred_element_type=jnp.float32).astype(dt)
         sx = fold(hx, wy_ref[:, :])
         dcrd_ref[0, 3 * g + 1:3 * g + 2, :] = csum(dsm * sx).astype(
@@ -454,7 +482,7 @@ def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
 
 
 def dcn_frame_fused_bwd(xp, lyx, m, wt, gout, *, cpg, bh, bw, ph, pw,
-                        nby, nbx, k=9, interpret=False):
+                        nby, nbx, k=9, hat="int32", interpret=False):
     """Backward pass: returns (dpg_blocks, dcoord, dW).
 
     dpg_blocks (n, dg, phr*cpg, 128): per-block halo-window cotangents in
@@ -478,7 +506,10 @@ def dcn_frame_fused_bwd(xp, lyx, m, wt, gout, *, cpg, bh, bw, ph, pw,
 
     kern = functools.partial(_bwd_kernel, p=p, k=k, dg=dg, cpg=cpg, ph=ph,
                              pw=pw, bh=bh, nby=nby, nbx=nbx,
-                             ly2=ly2, lx2=lx2)
+                             ly2=ly2, lx2=lx2, hat=hat)
+    hat_scratch = ([pltpu.VMEM((128, dg * q), dt),
+                    pltpu.VMEM((128, dg * q), dt)]
+                   if hat == "batched" else [])
     dpg, dcrd, dw = pl.pallas_call(
         kern,
         grid=(n_all,),
@@ -512,6 +543,7 @@ def dcn_frame_fused_bwd(xp, lyx, m, wt, gout, *, cpg, bh, bw, ph, pw,
             pltpu.VMEM((phr, q), dt),
             pltpu.VMEM((phr * cpg, q), dt),
             pltpu.VMEM((dg * k * cpg, p), dt),
+            *hat_scratch,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(

@@ -412,3 +412,30 @@ class TestFrameHatVariants:
         ref = modulated_deform_conv_block(*args, **kw)
         bat = modulated_deform_conv_block(*args, frame_hat="batched", **kw)
         np.testing.assert_array_equal(np.asarray(bat), np.asarray(ref))
+
+    def test_batched_hats_backward_bit_identical(self):
+        """hat='batched' backward (wide x-hat builds) must produce
+        bit-identical gradients to the per-group path."""
+        from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
+
+        rng = np.random.default_rng(34)
+        b, h, w, cin, dgq, r = 1, 16, 32, 16, 4, 3
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+        off = jnp.asarray(
+            np.clip(rng.normal(size=(b, h, w, dgq * 18)) * 2, -r + .2, r - .2),
+            jnp.float32)
+        m = jnp.asarray(rng.uniform(size=(b, h, w, dgq * 9)), jnp.float32)
+        wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 8)) * 0.2, jnp.float32)
+
+        def loss(hat):
+            def f(x_, off_, m_, w_):
+                o = modulated_deform_conv_block(
+                    x_, off_, m_, w_, None, 1, dgq, max_offset=r,
+                    use_pallas="frame", pallas_interpret=True, frame_hat=hat)
+                return jnp.sum(jnp.sin(o))
+            return f
+
+        ga = jax.grad(loss("int32"), argnums=(0, 1, 2, 3))(x, off, m, wgt)
+        gb = jax.grad(loss("batched"), argnums=(0, 1, 2, 3))(x, off, m, wgt)
+        for a_, b_ in zip(ga, gb):
+            np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
