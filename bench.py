@@ -131,6 +131,10 @@ def main():
         print(f"secondary: 1024x512 STREAMING video inference "
               f"{fps_stream:.4f} frames/s (per-frame pyramid cache, "
               "identical outputs; eval/streaming.py)", file=sys.stderr)
+        fps_sc = _measure_streaming(model, params, clips=2)
+        print(f"secondary: 1024x512 STREAMING 2-clip batched "
+              f"{fps_sc:.4f} frames/s/chip (run_scan_clips — "
+              "BASELINE config #5)", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"streaming measurement failed: {e}", file=sys.stderr)
 
@@ -142,25 +146,30 @@ def main():
     }), flush=True)
 
 
-def _measure_streaming(model, params, t_total=12):
+def _measure_streaming(model, params, t_total=12, clips=1):
     import jax
     import jax.numpy as jnp
 
     from realvsr_tpu.eval.streaming import StreamingRunner
 
     runner = StreamingRunner(model, params, padding="replicate")
-    frames = jnp.zeros((t_total, 512, 1024, 3), jnp.bfloat16)
     # block_until_ready acks EARLY through the axon tunnel (PERF_NOTES
     # methodology) — force a full-output reduction readback instead, with
     # the reduction pre-compiled so the timed calls are execution-only
     red = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
-    float(red(runner.run_scan(frames)))  # compile both
+    if clips > 1:
+        frames = jnp.zeros((clips, t_total, 512, 1024, 3), jnp.bfloat16)
+        run = runner.run_scan_clips
+    else:
+        frames = jnp.zeros((t_total, 512, 1024, 3), jnp.bfloat16)
+        run = runner.run_scan
+    float(red(run(frames)))  # compile both
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(red(runner.run_scan(frames)))
+        float(red(run(frames)))
         times.append(time.perf_counter() - t0)
-    return t_total / min(times)
+    return clips * t_total / min(times)
 
 
 def _measure_tiled_1080(model, params):

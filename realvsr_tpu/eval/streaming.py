@@ -82,44 +82,56 @@ class StreamingRunner:
         frames = jnp.asarray(frames)
         if self._scan_all is None:
             self._scan_all = self._build_scan()
-        return self._scan_all(self.params, frames)
+        return self._scan_all(self.params, frames[:, None])[:, 0]
+
+    def run_scan_clips(self, clips):
+        """Batched-clip variant of :meth:`run_scan`: clips (B, T, H, W, C)
+        restored as one lax.scan over time with the B clips stacked in the
+        model batch axis (device-side multi-clip video throughput —
+        BASELINE config #5).  Outputs equal per-clip :meth:`run_scan`."""
+        assert self.n == 3 and self.padding == "replicate"
+        clips = jnp.asarray(clips)
+        if self._scan_all is None:
+            self._scan_all = self._build_scan()
+        out = self._scan_all(self.params, jnp.moveaxis(clips, 0, 1))
+        return jnp.moveaxis(out, 0, 1)
 
     def _build_scan(self):
         """Build the jitted scan once per runner — a fresh ``@jax.jit``
         closure per call would recompile the whole scan graph (minutes
-        with Mosaic kernels) on every invocation."""
+        with Mosaic kernels) on every invocation.  Operates on
+        (T, B, H, W, C); run_scan passes B=1."""
         model = self.model
 
         @jax.jit
         def scan_all(p, fr):
             def pyr(frame):
-                return model.apply({"params": p}, frame[None],
-                                   mode="pyramid")
+                return model.apply({"params": p}, frame, mode="pyramid")
 
             def fuse(p3, center):
                 stacked = tuple(
                     jnp.stack([p3[0][li], p3[1][li], p3[2][li]], axis=1)
                     for li in range(3))
                 return model.apply({"params": p}, (*stacked, center),
-                                   mode="fuse")[0]
+                                   mode="fuse")
 
             p0 = pyr(fr[0])
             # first output: window (0, 0, 1) — replicate left border
-            out0 = fuse((p0, p0, pyr(fr[1])), fr[0:1])
+            out0 = fuse((p0, p0, pyr(fr[1])), fr[0])
 
             # interior: center frames 1..T-2, new frame = t+1
             def step2(carry, xs):
                 pm1, pm0, center = carry
                 frame = xs
                 pnew = pyr(frame)
-                out = fuse((pm1, pm0, pnew), center[None])
+                out = fuse((pm1, pm0, pnew), center)
                 return (pm0, pnew, frame), out
 
             carry = (p0, pyr(fr[1]), fr[1])
             carry, outs = jax.lax.scan(step2, carry, fr[2:])
             pm1, pm0, center = carry
             # last output: window (T-2, T-1, T-1) — replicate right border
-            outl = fuse((pm1, pm0, pm0), center[None])
+            outl = fuse((pm1, pm0, pm0), center)
             return jnp.concatenate([out0[None], outs, outl[None]], axis=0)
 
         return scan_all

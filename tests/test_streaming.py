@@ -80,3 +80,23 @@ def test_streaming_edvr_x4_matches_full_model():
         ref = np.asarray(full(params, window))[0]
         np.testing.assert_allclose(stream_out[t], ref, atol=2e-5,
                                    err_msg=f"frame {t}")
+
+
+def test_run_scan_clips_matches_per_clip():
+    """Batched-clip scan == per-clip run_scan for each clip."""
+    import numpy as np
+
+    from realvsr_tpu.eval.streaming import StreamingRunner
+    from realvsr_tpu.models.edvr import EDVRNoUp
+
+    model = EDVRNoUp(nf=8, nc=3, nframes=3, groups=2, front_RBs=1,
+                     back_RBs=1, predeblur=False, HR_in=False, w_TSA=False)
+    rng = np.random.default_rng(0)
+    clips = jnp.asarray(rng.uniform(size=(2, 5, 16, 16, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, 16, 16, 3)))["params"]
+    runner = StreamingRunner(model, params)
+    batched = np.asarray(runner.run_scan_clips(clips))
+    for b in range(clips.shape[0]):
+        single = np.asarray(runner.run_scan(clips[b]))
+        np.testing.assert_allclose(batched[b], single, atol=2e-6)
