@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Trace one flagship training step (Split, frame-DCN) on the TPU.
+
+VERDICT round-3 item 7: attribute where the 192^2/batch-8 training step
+spends its time (custom-VJP DCN backward vs fold epilogues vs conv
+backward vs loss pyramids) the same way tools/profile_inference.py does
+for inference.
+
+    python tools/profile_train_step.py [--size 192] [--batch 8] [--iters 2]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from profile_inference import summarize  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=192)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--hat", default="int32")
+    ap.add_argument("--outdir", default="/tmp/edvr_train_trace")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realvsr_tpu.models.edvr import EDVRNoUp
+    from realvsr_tpu.ops.deform_conv import set_default_impl
+    from realvsr_tpu.train.state import create_train_state
+    from realvsr_tpu.train.wrappers import make_train_step
+
+    set_default_impl("frame", block_max_offset=4, frame_hat=args.hat)
+    opt = {
+        "model": "VideoSR_AllPair_YCbCr_Split",
+        "train": {
+            "lr_G": 2e-4, "lr_scheme": "CosineAnnealingLR_Restart",
+            "beta1": 0.9, "beta2": 0.99, "niter": 1000, "warmup_iter": -1,
+            "T_period": [1000], "restarts": [], "restart_weights": [],
+            "eta_min": 1e-7, "pixel_criterion_y": "lappyr",
+            "pixel_weight_y": 1.0, "pixel_criterion_c": "gw",
+            "pixel_weight_c": 1.0, "manual_seed": 0,
+            "mixed_precision": True,
+        },
+        "augment": None,
+    }
+    model = EDVRNoUp(nf=64, nc=3, nframes=3, groups=8, front_RBs=5,
+                     back_RBs=10, predeblur=False, HR_in=False, w_TSA=False,
+                     dtype=jnp.bfloat16, remat=True)
+    s = args.size
+    sample = jnp.zeros((1, 3, s, s, 3), jnp.float32)
+    state = create_train_state(model, opt, sample, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, opt), donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "LQs": jnp.asarray(rng.uniform(size=(args.batch, 3, s, s, 3)),
+                           jnp.float32),
+        "GT": jnp.asarray(rng.uniform(size=(args.batch, 3, s, s, 3)),
+                          jnp.float32),
+    }
+    import time
+    t0 = time.time()
+    state, logs = step(state, batch, jax.random.PRNGKey(1))
+    print(f"compile+first step {time.time() - t0:.1f}s "
+          f"l_pix={float(logs['l_pix']):.4f}", flush=True)
+    ts = time.time()
+    for _ in range(3):
+        state, logs = step(state, batch, jax.random.PRNGKey(2))
+    float(logs["l_pix"])
+    print(f"~{3 / (time.time() - ts):.2f} it/s (dispatch-timed; fori "
+          "methodology not applicable to donated state)", flush=True)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    with jax.profiler.trace(args.outdir, create_perfetto_trace=True):
+        for _ in range(args.iters):
+            state, logs = step(state, batch, jax.random.PRNGKey(3))
+        float(logs["l_pix"])
+    import glob
+    paths = sorted(glob.glob(os.path.join(
+        args.outdir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime)
+    if paths:
+        summarize(paths[-1], args.iters, args.top)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
