@@ -30,8 +30,9 @@ timeout 3600 python tools/test_wi_gt.py \
 tail -12 experiments/quality_table_pixel.log
 
 echo "[$(date)] quality table: GAN finetune"
+GANCKPT=$(ls -d experiments/gan_motion_3k/models/*_G 2>/dev/null | sort -V | tail -1)
 sed -e 's/^name: test_synthetic_motion_quality/name: test_synthetic_motion_gan/' \
-    -e 's#bf16_vs_f32_motion/models/20000_G#gan_motion_3k/models/3000_G#' \
+    -e "s#experiments/bf16_vs_f32_motion/models/[0-9]*_G#$GANCKPT#" \
     configs/test/test_synthetic_motion_wi_GT.yml > /tmp/test_gan.yml
 timeout 3600 python tools/test_wi_gt.py -opt /tmp/test_gan.yml \
   --dcn_impl frame --save_imgs > experiments/quality_table_gan.log 2>&1
