@@ -56,16 +56,33 @@ def scaled_kaiming_normal(scale: float = 1.0):
 # set_conv3x3_impl("pallas") routes packed-chain Conv2d calls through
 # ops/pallas/conv3x3_kernel.conv3x3_packed (inference fast path); "xla"
 # (default) keeps the stock lax.conv emitter everywhere.
-_CONV3X3_IMPL = {"mode": "xla"}
+_CONV3X3_IMPL = {"mode": "xla", "unpack_out": None}
 
 
-def set_conv3x3_impl(mode: str) -> None:
+def set_conv3x3_impl(mode: str, unpack_out: bool | None = None) -> None:
     assert mode in ("xla", "pallas", "pallas_interpret")
     _CONV3X3_IMPL["mode"] = mode
+    _CONV3X3_IMPL["unpack_out"] = unpack_out
 
 
 def conv3x3_fast_enabled() -> bool:
     return _CONV3X3_IMPL["mode"].startswith("pallas")
+
+
+def conv3x3_unpack_out_enabled() -> bool:
+    """Whether packed chains may exit via the in-kernel unpack epilogue.
+
+    The epilogue's (m, 2c) -> (2m, c) vector reshape is an unsupported
+    Mosaic shape cast on real TPU hardware (infer-vector-layout rejects
+    lane 128 -> 64), so by default it is used only in interpret mode;
+    chains on hardware exit packed and pay the explicit unpack_pairs.
+    Force with set_conv3x3_impl(..., unpack_out=True) on toolchains that
+    support the cast.
+    """
+    v = _CONV3X3_IMPL.get("unpack_out")
+    if v is None:
+        return _CONV3X3_IMPL["mode"] == "pallas_interpret"
+    return bool(v)
 
 
 class _ConvParams(nn.Module):

@@ -19,9 +19,9 @@ import jax.numpy as jnp
 
 from realvsr_tpu.models.common import (
     Blocks, Conv2d, DCNPack, ResidualBlockNoBN, avg_pool_3x3_s2,
-    conv3x3_fast_enabled, lrelu, max_pool_3x3_s2,
+    conv3x3_fast_enabled, conv3x3_unpack_out_enabled, lrelu, max_pool_3x3_s2,
 )
-from realvsr_tpu.ops.pallas.conv3x3_kernel import pack_pairs
+from realvsr_tpu.ops.pallas.conv3x3_kernel import pack_pairs, unpack_pairs
 from realvsr_tpu.ops.resize import pixel_shuffle, resize_bilinear, upsample2x_bilinear
 
 Dtype = Any
@@ -196,12 +196,17 @@ class _EDVRBase(nn.Module):
                   and not self.remat)
         if packed:
             l1 = pack_pairs(l1)
+        unpack_in_kernel = packed and conv3x3_unpack_out_enabled()
         l1 = BlocksT(ResidualBlockNoBN, self.front_RBs,
                      dict(nf=nf, dtype=dt, packed_io=packed),
                      # chain exit emits plain NHWC in the kernel epilogue —
                      # no XLA retile at the packed -> PCD/DCN boundary
-                     final_kwargs=dict(unpack_out=True) if packed else None,
+                     # (interpret/forced only; Mosaic rejects the cast)
+                     final_kwargs=(dict(unpack_out=True)
+                                   if unpack_in_kernel else None),
                      name="feature_extraction")(l1)
+        if packed and not unpack_in_kernel:
+            l1 = unpack_pairs(l1)
         l2 = lrelu(Conv2d(nf, 3, 2, dtype=dt, name="fea_L2_conv1")(l1))
         l2 = lrelu(Conv2d(nf, 3, dtype=dt, name="fea_L2_conv2")(l2))
         l3 = lrelu(Conv2d(nf, 3, 2, dtype=dt, name="fea_L3_conv1")(l2))
@@ -318,7 +323,11 @@ class EDVRNoUp(_EDVRBase):
         out = BlocksT(ResidualBlockNoBN, self.back_RBs,
                       dict(nf=self.nf, dtype=dt, packed_io=packed),
                       name="recon_trunk")(fea)
-        out = Conv2d(64, 3, dtype=dt, packed_io=packed, unpack_out=packed,
+        unpack_in_kernel = packed and conv3x3_unpack_out_enabled()
+        out = Conv2d(64, 3, dtype=dt, packed_io=packed,
+                     unpack_out=unpack_in_kernel,
                      fused_act="lrelu", name="HRconv")(out)
+        if packed and not unpack_in_kernel:
+            out = unpack_pairs(out)
         out = Conv2d(self.nc, 3, dtype=dt, name="conv_last")(out)
         return out + x_center
