@@ -158,3 +158,24 @@ def test_packed_unpack_out_matches_xla():
 
     ga, gb = jax.grad(loss_a)(x), jax.grad(loss_b)(x)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=2e-4)
+
+
+def test_unpack_out_hardware_gate():
+    """unpack_out is interpret-only by default: Mosaic rejects the
+    (m, 2c) -> (2m, c) epilogue cast on real TPUs (PERF_NOTES round-4);
+    hardware paths must exit packed unless the caller forces it."""
+    from realvsr_tpu.models import common
+
+    prev = dict(common._CONV3X3_IMPL)
+    try:
+        common.set_conv3x3_impl("pallas")
+        assert not common.conv3x3_unpack_out_enabled()
+        common.set_conv3x3_impl("pallas_interpret")
+        assert common.conv3x3_unpack_out_enabled()
+        common.set_conv3x3_impl("pallas", unpack_out=True)
+        assert common.conv3x3_unpack_out_enabled()
+        common.set_conv3x3_impl("xla")
+        assert not common.conv3x3_unpack_out_enabled()
+    finally:
+        common._CONV3X3_IMPL.clear()
+        common._CONV3X3_IMPL.update(prev)
