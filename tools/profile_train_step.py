@@ -27,7 +27,12 @@ def main():
     ap.add_argument("--hat", default="int32")
     ap.add_argument("--outdir", default="/tmp/edvr_train_trace")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--compile_only", action="store_true",
+                    help="chipless AOT compile into the persistent cache "
+                         "(runs while the chip is busy); no execution")
     args = ap.parse_args()
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
     import jax
     import jax.numpy as jnp
@@ -68,6 +73,12 @@ def main():
                           jnp.float32),
     }
     import time
+    if args.compile_only:
+        t0 = time.time()
+        step.lower(state, batch, jax.random.PRNGKey(1)).compile()
+        print(f"AOT compiled train step ({args.size}^2/batch {args.batch}) "
+              f"in {time.time() - t0:.0f}s", flush=True)
+        return 0
     t0 = time.time()
     state, logs = step(state, batch, jax.random.PRNGKey(1))
     print(f"compile+first step {time.time() - t0:.1f}s "
