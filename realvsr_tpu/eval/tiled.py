@@ -75,3 +75,54 @@ def make_tiled_forward(model, params, tile_hw=(256, 512), overlap: int = 32,
                              tile_hw=tile_hw, overlap=overlap, scale=scale)
 
     return forward
+
+
+def make_batched_tiled_forward(model, params, tile_hw=(576, 1024),
+                               overlap: int = 32, scale: int = 1) -> Callable:
+    """Single-jit tiled forward: slice, batch, and stitch ON DEVICE.
+
+    The per-tile loop in :func:`tiled_forward` pays one dispatch + one
+    host->device tile transfer + one device->host pred transfer per tile
+    — through the axon tunnel that is ~25-40 ms of roundtrip per tile on
+    top of the compute (4 tiles/frame at 1080p).  Here the whole frame
+    is one jit: the tile grid is computed at trace time (shapes are
+    static under jit), tiles are gathered with dynamic_slice into one
+    batched model call (B = n_tiles fills the MXU better than B=1, see
+    the batched bench secondaries), and the valid tile centers are
+    stitched with dynamic_update_slice — one dispatch, one transfer.
+
+    Returns a jitted ``window (T, H, W, C) -> (H*scale, W*scale, C)``.
+    Output matches :func:`tiled_forward` exactly (same grid, same valid
+    regions, same clamped edge tiles).
+    """
+    variables = params if "params" in params else {"params": params}
+    th0, tw0 = tile_hw
+
+    @jax.jit
+    def forward(window):
+        t, h, w, c = window.shape
+        th, tw = min(th0, h), min(tw0, w)
+        step_h, step_w = th - 2 * overlap, tw - 2 * overlap
+        assert step_h > 0 and step_w > 0, "tile too small for overlap"
+        ys = list(range(0, max(h - 2 * overlap, 1), step_h))
+        xs = list(range(0, max(w - 2 * overlap, 1), step_w))
+        origins = [(min(y0, h - th), min(x0, w - tw))
+                   for y0 in ys for x0 in xs]
+        tiles = jnp.stack([
+            jax.lax.dynamic_slice(window, (0, ty, tx, 0), (t, th, tw, c))
+            for ty, tx in origins])
+        preds = model.apply(variables, tiles)  # (n, th*s, tw*s, c)
+        out = jnp.zeros((h * scale, w * scale, c), preds.dtype)
+        for i, (ty, tx) in enumerate(origins):
+            vy0 = ty + (overlap if ty > 0 else 0)
+            vx0 = tx + (overlap if tx > 0 else 0)
+            vy1 = ty + th - (overlap if ty + th < h else 0)
+            vx1 = tx + tw - (overlap if tx + tw < w else 0)
+            out = jax.lax.dynamic_update_slice(
+                out,
+                preds[i, (vy0 - ty) * scale:(vy1 - ty) * scale,
+                      (vx0 - tx) * scale:(vx1 - tx) * scale],
+                (vy0 * scale, vx0 * scale, 0))
+        return out
+
+    return forward

@@ -30,3 +30,25 @@ def test_tiled_matches_full_for_local_model():
     assert diff.max() < 2e-2, diff.max()
     # majority of pixels identical
     assert np.mean(diff < 1e-5) > 0.85
+
+
+def test_batched_tiled_matches_loop_tiled():
+    """The single-jit batched tiler reproduces the loop tiler exactly
+    (same grid, same clamped edge tiles, same valid-center stitching)."""
+    from realvsr_tpu.eval.tiled import make_batched_tiled_forward
+
+    model = EDVRNoUp(nf=8, nc=3, nframes=3, groups=2, front_RBs=1, back_RBs=1,
+                     w_TSA=False)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((3, 64, 96, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x[None])["params"]
+
+    @jax.jit
+    def fwd(tile):
+        return model.apply({"params": params}, tile[None])[0]
+
+    loop = tiled_forward(fwd, x, tile_hw=(48, 64), overlap=16, scale=1)
+    batched = make_batched_tiled_forward(
+        model, params, tile_hw=(48, 64), overlap=16, scale=1)(x)
+    np.testing.assert_allclose(np.asarray(batched, np.float32), loop,
+                               atol=1e-5)

@@ -53,6 +53,55 @@ def main():
             print(f"{w}x{h} B={b}: FAILED {type(e).__name__}: "
                   f"{str(e)[:120]}", flush=True)
 
+    # the 1080p tiled path (bench._measure_tiled_1080): the batched
+    # single-jit tiler's run_n / run_1 programs at 1920x1088
+    from realvsr_tpu.eval.tiled import make_batched_tiled_forward
+
+    fwd = make_batched_tiled_forward(model, params, tile_hw=(576, 1024),
+                                     overlap=32)
+    window = jnp.zeros((bench.NFRAMES, 1088, 1920, 3), jnp.bfloat16)
+
+    def make(n):
+        @jax.jit
+        def run(w_):
+            def body(_, carry):
+                acc, w_ = carry
+                s = jnp.sum(fwd(w_).astype(jnp.float32))
+                w_ = w_ * (1 + s * 1e-30).astype(w_.dtype)
+                return acc + s, w_
+
+            acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0), w_))
+            return acc
+
+        return run
+
+    for n in (bench.ITERS, 1):
+        t0 = time.perf_counter()
+        try:
+            make(n).lower(window).compile()
+            print(f"batched-tiled 1080p n={n}: compiled "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"batched-tiled 1080p n={n}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)
+
+    # loop-tiler fallback jit (same as eval/tiled.make_tiled_forward)
+    t0 = time.perf_counter()
+    try:
+        variables = {"params": params}
+
+        @jax.jit
+        def tile_fwd(v, tile):
+            return model.apply(v, tile[None])[0]
+
+        tile = jnp.zeros((bench.NFRAMES, 576, 1024, 3), jnp.float32)
+        tile_fwd.lower(variables, tile).compile()
+        print(f"tiled 576x1024 f32: compiled "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    except Exception as e:
+        print(f"tiled 576x1024: FAILED {type(e).__name__}: {str(e)[:120]}",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
