@@ -197,20 +197,23 @@ def _measure_tiled_1080(model, params):
     import jax.numpy as jnp
     import numpy as np
 
-    from realvsr_tpu.eval.tiled import (make_batched_tiled_forward,
+    from realvsr_tpu.eval.tiled import (batched_tiled_apply,
                                         make_tiled_forward)
 
     window = jnp.zeros((NFRAMES, 1088, 1920, 3), jnp.bfloat16)
     try:
-        fwd = make_batched_tiled_forward(model, params, tile_hw=(576, 1024),
-                                         overlap=32)
+        # variables must be a jit ARGUMENT — closed over they inline the
+        # weights as MLIR constants (4.7 MB payload) and crash the
+        # remote compile helper
+        apply = batched_tiled_apply(model, tile_hw=(576, 1024), overlap=32)
+        variables = {"params": params}
 
         def make(n):
             @jax.jit
-            def run(w_):
+            def run(v, w_):
                 def body(_, carry):
                     acc, w_ = carry
-                    s = jnp.sum(fwd(w_).astype(jnp.float32))
+                    s = jnp.sum(apply(v, w_).astype(jnp.float32))
                     w_ = w_ * (1 + s * 1e-30).astype(w_.dtype)
                     return acc + s, w_
 
@@ -220,15 +223,15 @@ def _measure_tiled_1080(model, params):
             return run
 
         run_n, run_1 = make(ITERS), make(1)
-        float(run_n(window))
-        float(run_1(window))
+        float(run_n(variables, window))
+        float(run_1(variables, window))
         tn, t1 = [], []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            float(run_n(window))
+            float(run_n(variables, window))
             tn.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            float(run_1(window))
+            float(run_1(variables, window))
             t1.append(time.perf_counter() - t0)
         return (ITERS - 1) / (min(tn) - min(t1))
     except Exception as e:

@@ -96,10 +96,22 @@ def make_batched_tiled_forward(model, params, tile_hw=(576, 1024),
     regions, same clamped edge tiles).
     """
     variables = params if "params" in params else {"params": params}
+    apply = batched_tiled_apply(model, tile_hw=tile_hw, overlap=overlap,
+                                scale=scale)
+    jitted = jax.jit(apply)
+    return lambda window: jitted(variables, window)
+
+
+def batched_tiled_apply(model, tile_hw=(576, 1024), overlap: int = 32,
+                        scale: int = 1) -> Callable:
+    """Pure ``(variables, window) -> stitched frame`` for the batched
+    tiler — variables stay a function ARGUMENT so enclosing jits (e.g.
+    the bench's fori-loop timing wrapper) don't inline the weights as
+    constants; a closed-over param tree bloats the lowered MLIR by the
+    full weight bytes and overloads the remote compile helper."""
     th0, tw0 = tile_hw
 
-    @jax.jit
-    def forward(window):
+    def forward(variables, window):
         t, h, w, c = window.shape
         th, tw = min(th0, h), min(tw0, w)
         step_h, step_w = th - 2 * overlap, tw - 2 * overlap

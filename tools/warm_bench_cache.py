@@ -55,18 +55,18 @@ def main():
 
     # the 1080p tiled path (bench._measure_tiled_1080): the batched
     # single-jit tiler's run_n / run_1 programs at 1920x1088
-    from realvsr_tpu.eval.tiled import make_batched_tiled_forward
+    from realvsr_tpu.eval.tiled import batched_tiled_apply
 
-    fwd = make_batched_tiled_forward(model, params, tile_hw=(576, 1024),
-                                     overlap=32)
+    apply = batched_tiled_apply(model, tile_hw=(576, 1024), overlap=32)
+    variables = {"params": params}
     window = jnp.zeros((bench.NFRAMES, 1088, 1920, 3), jnp.bfloat16)
 
     def make(n):
         @jax.jit
-        def run(w_):
+        def run(v, w_):
             def body(_, carry):
                 acc, w_ = carry
-                s = jnp.sum(fwd(w_).astype(jnp.float32))
+                s = jnp.sum(apply(v, w_).astype(jnp.float32))
                 w_ = w_ * (1 + s * 1e-30).astype(w_.dtype)
                 return acc + s, w_
 
@@ -78,7 +78,7 @@ def main():
     for n in (bench.ITERS, 1):
         t0 = time.perf_counter()
         try:
-            make(n).lower(window).compile()
+            make(n).lower(variables, window).compile()
             print(f"batched-tiled 1080p n={n}: compiled "
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
         except Exception as e:
