@@ -127,6 +127,9 @@ class Conv2d(nn.Module):
     packed_io: bool = False
     fused_act: str | None = None
     unpack_out: bool = False  # packed_io chains: epilogue emits plain NHWC
+    # input is a channel-concat of separately pair-packed tensors with
+    # these channel counts (PCD offset chains); None = standard packed
+    packed_splits: tuple[int, ...] | None = None
 
     @nn.compact
     def __call__(self, x, residual=None):
@@ -148,7 +151,7 @@ class Conv2d(nn.Module):
                 x, kernel.astype(self.dtype),
                 None if bias is None else bias.astype(self.dtype),
                 h=x.shape[1], act=self.fused_act, residual=residual,
-                unpack_out=self.unpack_out,
+                unpack_out=self.unpack_out, splits=self.packed_splits,
                 interpret=_CONV3X3_IMPL["mode"] == "pallas_interpret")
         cin = x.shape[-1]
         fan_in = k[0] * k[1] * (cin // self.feature_group_count)

@@ -35,12 +35,28 @@ class PCDAlign(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, nbr_fea_l, ref_fea_l):
-        """nbr_fea_l / ref_fea_l: [L1, L2, L3] NHWC feature pyramids."""
+    def __call__(self, nbr_fea_l, ref_fea_l, l1_packed=None):
+        """nbr_fea_l / ref_fea_l: [L1, L2, L3] NHWC feature pyramids.
+
+        ``l1_packed``: optional (nbr_p, ref_p) pair-packed views of the
+        L1 operands, handed straight from the front chain's packed exit
+        (models/edvr.py front_pyramid) so the packed offset chains skip
+        the full-resolution re-pack retiles.  Ignored on the plain path.
+        """
         nf, dt = self.nf, self.dtype
         conv = lambda name, cout=nf: Conv2d(cout, 3, dtype=dt, name=name)
         dcn = lambda name: DCNPack(nf, 3, padding=1, deformable_groups=self.groups,
                                    extra_offset_mask=True, dtype=dt, name=name)
+
+        # Pair-packed offset-conv chains (ops/pallas/conv3x3_kernel.py):
+        # concat inputs stay in their separately-packed lane layout and the
+        # packed-weight K rows are permuted to match (packed_splits), so
+        # the chains read packed directly and unpack only at the DCN
+        # boundaries — no physical re-interleave copies.  Parameter names/
+        # shapes are identical to the plain branch (checkpoint-compatible).
+        if conv3x3_fast_enabled() and nbr_fea_l[0].shape[-2] % 64 == 0:
+            return self._packed_chains(nbr_fea_l, ref_fea_l, conv, dcn,
+                                       l1_packed)
 
         # L3
         l3_off = jnp.concatenate([nbr_fea_l[2], ref_fea_l[2]], axis=-1)
@@ -72,6 +88,52 @@ class PCDAlign(nn.Module):
         off = jnp.concatenate([l1_fea, ref_fea_l[0]], axis=-1)
         off = lrelu(conv("cas_offset_conv1")(off))
         off = lrelu(conv("cas_offset_conv2")(off))
+        l1_fea = lrelu(dcn("cas_dcnpack")(l1_fea, off))
+        return l1_fea
+
+    def _packed_chains(self, nbr_fea_l, ref_fea_l, conv, dcn,
+                       l1_packed=None):
+        """Offset-conv chains on the pair-packed layout (same math/params
+        as the plain branch; lrelu fuses into the kernel epilogue)."""
+        nf, dt = self.nf, self.dtype
+        P, U = pack_pairs, unpack_pairs
+        s2 = (nf, nf)
+        if l1_packed is not None:
+            nbr1_p, ref1_p = l1_packed
+        else:
+            nbr1_p, ref1_p = P(nbr_fea_l[0]), P(ref_fea_l[0])
+        convp = lambda name, splits=None: Conv2d(
+            nf, 3, dtype=dt, name=name, packed_io=True, fused_act="lrelu",
+            packed_splits=splits)
+        # L3
+        l3_off_p = convp("L3_offset_conv1", s2)(
+            jnp.concatenate([P(nbr_fea_l[2]), P(ref_fea_l[2])], axis=-1))
+        l3_off = U(convp("L3_offset_conv2")(l3_off_p))
+        l3_fea = lrelu(dcn("L3_dcnpack")(nbr_fea_l[2], l3_off))
+        # L2
+        l2_off_p = convp("L2_offset_conv1", s2)(
+            jnp.concatenate([P(nbr_fea_l[1]), P(ref_fea_l[1])], axis=-1))
+        l2_off_p = convp("L2_offset_conv2", s2)(jnp.concatenate(
+            [l2_off_p, P(upsample2x_bilinear(l3_off)) * 2], axis=-1))
+        l2_off = U(convp("L2_offset_conv3")(l2_off_p))
+        l2_fea = dcn("L2_dcnpack")(nbr_fea_l[1], l2_off)
+        l3_fea_up = upsample2x_bilinear(l3_fea)
+        l2_fea = lrelu(conv("L2_fea_conv")(
+            jnp.concatenate([l2_fea, l3_fea_up], axis=-1)))
+        # L1
+        l1_off_p = convp("L1_offset_conv1", s2)(
+            jnp.concatenate([nbr1_p, ref1_p], axis=-1))
+        l1_off_p = convp("L1_offset_conv2", s2)(jnp.concatenate(
+            [l1_off_p, P(upsample2x_bilinear(l2_off)) * 2], axis=-1))
+        l1_off = U(convp("L1_offset_conv3")(l1_off_p))
+        l1_fea = dcn("L1_dcnpack")(nbr_fea_l[0], l1_off)
+        l2_fea_up = upsample2x_bilinear(l2_fea)
+        l1_fea = conv("L1_fea_conv")(
+            jnp.concatenate([l1_fea, l2_fea_up], axis=-1))
+        # Cascading
+        off_p = convp("cas_offset_conv1", s2)(
+            jnp.concatenate([P(l1_fea), ref1_p], axis=-1))
+        off = U(convp("cas_offset_conv2")(off_p))
         l1_fea = lrelu(dcn("cas_dcnpack")(l1_fea, off))
         return l1_fea
 
@@ -171,7 +233,7 @@ class _EDVRBase(nn.Module):
     def center_idx(self) -> int:
         return self.nframes // 2 if self.center is None else self.center
 
-    def front_pyramid(self, x_flat):
+    def front_pyramid(self, x_flat, return_packed: bool = False):
         """Per-frame 3-level feature pyramid (frames folded into batch).
 
         Split out from :meth:`extract_and_align` so streaming video
@@ -206,11 +268,16 @@ class _EDVRBase(nn.Module):
                                    if unpack_in_kernel else None),
                      name="feature_extraction")(l1)
         if packed and not unpack_in_kernel:
+            l1p = l1
             l1 = unpack_pairs(l1)
+        else:
+            l1p = None
         l2 = lrelu(Conv2d(nf, 3, 2, dtype=dt, name="fea_L2_conv1")(l1))
         l2 = lrelu(Conv2d(nf, 3, dtype=dt, name="fea_L2_conv2")(l2))
         l3 = lrelu(Conv2d(nf, 3, 2, dtype=dt, name="fea_L3_conv1")(l2))
         l3 = lrelu(Conv2d(nf, 3, dtype=dt, name="fea_L3_conv2")(l3))
+        if return_packed:
+            return l1, l2, l3, l1p
         return l1, l2, l3
 
     def extract_and_align(self, x):
@@ -219,7 +286,7 @@ class _EDVRBase(nn.Module):
         nf, dt = self.nf, self.dtype
         x_flat = x.reshape(b * n, h, w, c)
 
-        l1, l2, l3 = self.front_pyramid(x_flat)
+        l1, l2, l3, l1p = self.front_pyramid(x_flat, return_packed=True)
         if self.HR_in:
             h, w = h // 4, w // 4
 
@@ -232,10 +299,17 @@ class _EDVRBase(nn.Module):
 
         l1v, l2v, l3v = (levels(l1, h, w), levels(l2, h // 2, w // 2),
                          levels(l3, h // 4, w // 4))
-        return self.align_fuse(l1v, l2v, l3v)
+        l1p_v = (None if l1p is None
+                 else l1p.reshape(b, n, h, w // 2, 2 * nf))
+        return self.align_fuse(l1v, l2v, l3v, l1p_v)
 
-    def align_fuse(self, l1v, l2v, l3v):
-        """PCD alignment + fusion from stacked pyramids (B, N, h, w, nf)."""
+    def align_fuse(self, l1v, l2v, l3v, l1p_v=None):
+        """PCD alignment + fusion from stacked pyramids (B, N, h, w, nf).
+
+        ``l1p_v``: optional pair-packed view of l1v handed from the front
+        chain's packed exit — PCD's packed offset chains then read it
+        directly instead of re-packing the L1 operands (full-res retiles).
+        """
         b, n, h, w, nf = l1v.shape
         dt = self.dtype
         ctr = self.center_idx
@@ -246,9 +320,15 @@ class _EDVRBase(nn.Module):
             jnp.broadcast_to(lv[:, ctr][:, None], lv.shape).reshape(nbr_i.shape)
             for lv, nbr_i in zip((l1v, l2v, l3v), nbr)
         ]
+        l1_packed = None
+        if l1p_v is not None:
+            nbr1_p = l1p_v.reshape(b * n, h, w // 2, 2 * nf)
+            ref1_p = jnp.broadcast_to(
+                l1p_v[:, ctr][:, None], l1p_v.shape).reshape(nbr1_p.shape)
+            l1_packed = (nbr1_p, ref1_p)
         PCDT = nn.checkpoint(PCDAlign) if self.remat else PCDAlign
         aligned = PCDT(nf=nf, groups=self.groups, dtype=dt,
-                       name="pcd_align")(nbr, ref)
+                       name="pcd_align")(nbr, ref, l1_packed)
         aligned = aligned.reshape(b, n, h, w, nf)
 
         if self.w_TSA:

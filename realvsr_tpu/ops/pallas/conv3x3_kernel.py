@@ -212,11 +212,20 @@ def unpack_pairs(x: jax.Array) -> jax.Array:
     return x.reshape(b, h, wp * 2, c2 // 2)
 
 
-def pack_weights(weight: jax.Array, dt) -> jax.Array:
+def pack_weights(weight: jax.Array, dt,
+                 splits: tuple[int, ...] | None = None) -> jax.Array:
     """(3, 3, cin, cout) -> (9, 2cin, 2cout) packed blocks.
 
     Block (dy, pdx)[q*cin + c, r*cout + o] = W[dy, 2*pdx + q - r + 1, c, o]
     when that dx is a valid tap, else 0.
+
+    ``splits``: the input is a channel-concatenation of separately
+    pair-packed tensors with these channel counts (sum == cin), i.e. its
+    lane layout is [g0·q0, g0·q1, g1·q0, g1·q1, ...] instead of the
+    standard [q0·all, q1·all].  Handled entirely here by permuting the
+    K rows of the packed blocks to match — the kernel is unchanged, so
+    PCD's concat(packed, packed) inputs need no physical re-interleave
+    copy (the round-4 "consumers read packed directly" boundary fix).
     """
     kh, kw, cin, cout = weight.shape
     out = jnp.zeros((3, 3, 2 * cin, 2 * cout), jnp.float32)
@@ -229,7 +238,25 @@ def pack_weights(weight: jax.Array, dt) -> jax.Array:
                     out = out.at[:, pdx + 1,
                                  q * cin:(q + 1) * cin,
                                  r * cout:(r + 1) * cout].set(wf[:, dx + 1])
+    if splits is not None:
+        assert sum(splits) == cin, (splits, cin)
+        perm, off = [], 0
+        for cg in splits:
+            for q in (0, 1):
+                perm.extend(range(q * cin + off, q * cin + off + cg))
+            off += cg
+        out = out[:, :, perm, :]
     return out.reshape(9, 2 * cin, 2 * cout).astype(dt)
+
+
+def unpack_grouped(x: jax.Array, splits: tuple[int, ...]) -> jax.Array:
+    """Inverse layout map for a concat-of-packed tensor: (B, H, W/2,
+    2*sum(splits)) with [g0·q0, g0·q1, ...] lanes -> plain (B, H, W, sum)."""
+    outs, off = [], 0
+    for cg in splits:
+        outs.append(unpack_pairs(x[..., 2 * off:2 * (off + cg)]))
+        off += cg
+    return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
 
 
 def _packed_kernel(x_ref, wt_ref, b_ref, res_ref, out_ref, slab_ref,
@@ -328,6 +355,7 @@ def conv3x3_packed(xp: jax.Array, weight: jax.Array,
                    residual: jax.Array | None = None,
                    mrows: int | None = None,
                    unpack_out: bool = False,
+                   splits: tuple[int, ...] | None = None,
                    interpret: bool = False) -> jax.Array:
     """Differentiable 3x3/s1/SAME conv on the pair-packed layout.
 
@@ -348,13 +376,13 @@ def conv3x3_packed(xp: jax.Array, weight: jax.Array,
     bi = bias if has_bias else jnp.zeros((cout,), xp.dtype)
     res = residual if has_res else jnp.zeros((1, 1, 1, 2 * cout), xp.dtype)
     return _packed_core(xp, weight, bi, res, h, act, alpha, mrows,
-                        interpret, has_res, unpack_out)
+                        interpret, has_res, unpack_out, splits)
 
 
 def _packed_ref_xla(xp, weight, bias, res, h, act, alpha, has_res,
-                    unpack_out=False):
+                    unpack_out=False, splits=None):
     """Stock-XLA equivalent of the packed kernel (backward path)."""
-    x = unpack_pairs(xp)
+    x = unpack_pairs(xp) if splits is None else unpack_grouped(xp, splits)
     y = jax.lax.conv_general_dilated(
         x, weight.astype(x.dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -372,28 +400,29 @@ def _packed_ref_xla(xp, weight, bias, res, h, act, alpha, has_res,
     return y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _packed_core(xp, weight, bias, res, h, act, alpha, mrows, interpret,
-                 has_res, unpack_out):
+                 has_res, unpack_out, splits):
     return _packed_pallas(xp, weight, bias,
                           residual=res if has_res else None,
                           h=h, act=act, alpha=alpha, mrows=mrows,
-                          interpret=interpret, unpack_out=unpack_out)
+                          interpret=interpret, unpack_out=unpack_out,
+                          splits=splits)
 
 
 def _packed_core_fwd(xp, weight, bias, res, h, act, alpha, mrows,
-                     interpret, has_res, unpack_out):
+                     interpret, has_res, unpack_out, splits):
     out = _packed_core(xp, weight, bias, res, h, act, alpha, mrows,
-                       interpret, has_res, unpack_out)
+                       interpret, has_res, unpack_out, splits)
     return out, (xp, weight, bias, res)
 
 
 def _packed_core_bwd(h, act, alpha, mrows, interpret, has_res, unpack_out,
-                     saved, g):
+                     splits, saved, g):
     xp, weight, bias, res = saved
     _, vjp = jax.vjp(
         lambda a, w, b, r: _packed_ref_xla(a, w, b, r, h, act, alpha,
-                                           has_res, unpack_out),
+                                           has_res, unpack_out, splits),
         xp, weight, bias, res)
     return vjp(g)
 
@@ -407,6 +436,7 @@ def _packed_pallas(xp: jax.Array, weight: jax.Array,
                    residual: jax.Array | None = None,
                    mrows: int | None = None,
                    unpack_out: bool = False,
+                   splits: tuple[int, ...] | None = None,
                    interpret: bool = False) -> jax.Array:
     """Pallas forward of the pair-packed conv.
 
@@ -435,8 +465,9 @@ def _packed_pallas(xp: jax.Array, weight: jax.Array,
 
     xf = xp.reshape(n_rows, cin2)
     # (3dy, 3pdx, cin2, cout2) -> per-pdx dy-stacked (3, 3*cin2, cout2)
-    wt = pack_weights(weight, dt).reshape(3, 3, cin2, cout2).transpose(
-        1, 0, 2, 3).reshape(3, 3 * cin2, cout2)
+    wt = pack_weights(weight, dt, splits).reshape(
+        3, 3, cin2, cout2).transpose(1, 0, 2, 3).reshape(
+        3, 3 * cin2, cout2)
     bi = (bias if bias is not None else jnp.zeros((cout,), dt))
     bi = jnp.tile(bi.astype(dt), 2).reshape(1, cout2)
     has_res = residual is not None

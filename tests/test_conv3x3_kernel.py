@@ -179,3 +179,70 @@ def test_unpack_out_hardware_gate():
     finally:
         common._CONV3X3_IMPL.clear()
         common._CONV3X3_IMPL.update(prev)
+
+
+def test_packed_splits_matches_concat_conv():
+    """splits: a channel-concat of two separately pair-packed tensors is
+    convolved via the permuted packed-weight K rows — forward and grads
+    must match the plain conv on the unpacked concat (the PCD offset
+    chains' "consumers read packed directly" boundary,
+    models/edvr.py PCDAlign._packed_chains)."""
+    from realvsr_tpu.ops.pallas.conv3x3_kernel import unpack_grouped
+
+    rng = np.random.default_rng(7)
+    b, h, w, ca, cb, cout = 2, 8, 32, 16, 8, 24
+    xa = jnp.asarray(rng.normal(size=(b, h, w, ca)), jnp.float32)
+    xb = jnp.asarray(rng.normal(size=(b, h, w, cb)), jnp.float32)
+    wgt = jnp.asarray(rng.normal(size=(3, 3, ca + cb, cout)) * 0.1,
+                      jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    xg = jnp.concatenate([pack_pairs(xa), pack_pairs(xb)], axis=-1)
+    assert np.allclose(
+        np.asarray(unpack_grouped(xg, (ca, cb))),
+        np.asarray(jnp.concatenate([xa, xb], axis=-1)))
+
+    ref = _ref(jnp.concatenate([xa, xb], axis=-1), wgt, bias)
+    ref = jnp.where(ref >= 0, ref, ref * 0.1)
+    out = unpack_pairs(conv3x3_packed(
+        xg, wgt, bias, h=h, act="lrelu", splits=(ca, cb), mrows=2,
+        interpret=True))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def lp(a, b_, wg):
+        o = conv3x3_packed(
+            jnp.concatenate([pack_pairs(a), pack_pairs(b_)], axis=-1),
+            wg, bias, h=h, act="lrelu", splits=(ca, cb), mrows=2,
+            interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def lr(a, b_, wg):
+        o = _ref(jnp.concatenate([a, b_], axis=-1), wg, bias)
+        o = jnp.where(o >= 0, o, o * 0.1)
+        return jnp.sum(jnp.sin(o))
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(xa, xb, wgt)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(xa, xb, wgt)
+    for name, p_, r_ in zip(["dxa", "dxb", "dw"], gp, gr):
+        np.testing.assert_allclose(np.asarray(p_), np.asarray(r_),
+                                   atol=2e-4, err_msg=name)
+
+
+def test_pcd_packed_chains_parity():
+    """EDVRNoUp at a width divisible by 64 routes PCD's offset-conv chains
+    through the packed layout (PCDAlign._packed_chains) — outputs must
+    match the plain XLA branch with the same params."""
+    from realvsr_tpu.models.common import set_conv3x3_impl
+    from realvsr_tpu.models.edvr import EDVRNoUp
+
+    model = EDVRNoUp(nf=16, nc=3, nframes=3, groups=4, front_RBs=2,
+                     back_RBs=2, predeblur=False, HR_in=False, w_TSA=False)
+    x = jnp.asarray(np.random.default_rng(9).uniform(size=(1, 3, 16, 64, 3)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    ref = model.apply({"params": params}, x)
+    set_conv3x3_impl("pallas_interpret")
+    try:
+        out = model.apply({"params": params}, x)
+    finally:
+        set_conv3x3_impl("xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

@@ -52,6 +52,14 @@ def main():
     checks.append(("conv3x3_packed unpack_out  [interpret-only]",
                    lambda a, b: conv3x3_packed(a, b, h=64, unpack_out=True),
                    (xp, w), False))
+    # concat-of-packed input (PCD offset chains): K-row permutation only —
+    # kernel body identical, but check the 256-lane K shapes anyway
+    xg = jnp.concatenate([xp, xp], axis=-1)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, 128, 64)) * 0.1, jnp.bfloat16)
+    checks.append(("conv3x3_packed splits=(64,64) lrelu",
+                   lambda a, b: conv3x3_packed(a, b, h=64, act="lrelu",
+                                               splits=(64, 64)),
+                   (xg, w2), True))
     # plain (non-packed) conv3x3 is NOT reachable from model hardware
     # paths (set_conv3x3_impl('pallas') routes only packed_io chains,
     # models/common.py:130) and its 64-lane NHWC layout is rejected by
