@@ -290,6 +290,13 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     return out
 
 
+# Above this int16-coords size, _frame_prep pins the fixed-point encode to
+# the flat (b, hh, ww, dk2) layout with an optimization barrier (see the
+# two_stage branch).  1 GiB keeps the 1024x512 bench shapes (0.45G) on the
+# fully-fused path while capping the 1080p-class temps.
+_PREP_BARRIER_BYTES = 1 << 30
+
+
 def _frame_geom(h, w, cpg, r, bh, bw):
     h_pad = (-h) % bh
     w_pad = (-w) % bw
@@ -365,6 +372,14 @@ def _frame_prep(x, offset, mask, weight, *, dg, cpg, r, bh, bw, k, kw, dt,
         val = (jnp.clip(offp.astype(jnp.float32), -float(r), float(r))
                + pos)
         fxp = jnp.round(val * scale).astype(jnp.int16)   # (b,hh,ww,(g,c,k))
+        if fxp.size * 2 >= _PREP_BARRIER_BYTES:
+            # large frames only: XLA's reshape-mover sinks the block
+            # reshape below ABOVE this arithmetic, materializing `val` as
+            # a 6-D f32 temp (7.17G at 1088x1920 L1 — OOMs the full-frame
+            # 1080p program by 261M).  The barrier pins the encode to the
+            # flat layout so only int16 is ever materialized; small
+            # (bench) shapes keep the unbarriered fusion.
+            fxp = jax.lax.optimization_barrier(fxp)
         t1 = fxp.reshape(b, nby, bh, nbx, bw, dk2).transpose(
             0, 1, 3, 2, 4, 5)                            # minor dims intact
         lyx = t1.reshape(n_all, p, dk2).transpose(0, 2, 1).reshape(
