@@ -56,33 +56,16 @@ def scaled_kaiming_normal(scale: float = 1.0):
 # set_conv3x3_impl("pallas") routes packed-chain Conv2d calls through
 # ops/pallas/conv3x3_kernel.conv3x3_packed (inference fast path); "xla"
 # (default) keeps the stock lax.conv emitter everywhere.
-_CONV3X3_IMPL = {"mode": "xla", "unpack_out": None}
+_CONV3X3_IMPL = {"mode": "xla"}
 
 
-def set_conv3x3_impl(mode: str, unpack_out: bool | None = None) -> None:
+def set_conv3x3_impl(mode: str) -> None:
     assert mode in ("xla", "pallas", "pallas_interpret")
     _CONV3X3_IMPL["mode"] = mode
-    _CONV3X3_IMPL["unpack_out"] = unpack_out
 
 
 def conv3x3_fast_enabled() -> bool:
     return _CONV3X3_IMPL["mode"].startswith("pallas")
-
-
-def conv3x3_unpack_out_enabled() -> bool:
-    """Whether packed chains may exit via the in-kernel unpack epilogue.
-
-    The epilogue's (m, 2c) -> (2m, c) vector reshape is an unsupported
-    Mosaic shape cast on real TPU hardware (infer-vector-layout rejects
-    lane 128 -> 64), so by default it is used only in interpret mode;
-    chains on hardware exit packed and pay the explicit unpack_pairs.
-    Force with set_conv3x3_impl(..., unpack_out=True) on toolchains that
-    support the cast.
-    """
-    v = _CONV3X3_IMPL.get("unpack_out")
-    if v is None:
-        return _CONV3X3_IMPL["mode"] == "pallas_interpret"
-    return bool(v)
 
 
 class _ConvParams(nn.Module):
@@ -126,7 +109,6 @@ class Conv2d(nn.Module):
     dtype: Dtype = jnp.float32
     packed_io: bool = False
     fused_act: str | None = None
-    unpack_out: bool = False  # packed_io chains: epilogue emits plain NHWC
     # input is a channel-concat of separately pair-packed tensors with
     # these channel counts (PCD offset chains); None = standard packed
     packed_splits: tuple[int, ...] | None = None
@@ -151,7 +133,7 @@ class Conv2d(nn.Module):
                 x, kernel.astype(self.dtype),
                 None if bias is None else bias.astype(self.dtype),
                 h=x.shape[1], act=self.fused_act, residual=residual,
-                unpack_out=self.unpack_out, splits=self.packed_splits,
+                splits=self.packed_splits,
                 interpret=_CONV3X3_IMPL["mode"] == "pallas_interpret")
         cin = x.shape[-1]
         fan_in = k[0] * k[1] * (cin // self.feature_group_count)
@@ -191,7 +173,6 @@ class ResidualBlockNoBN(nn.Module):
     nf: int = 64
     dtype: Dtype = jnp.float32
     packed_io: bool = False
-    unpack_out: bool = False  # last block of a packed chain: conv2 emits NHWC
 
     @nn.compact
     def __call__(self, x):
@@ -204,7 +185,7 @@ class ResidualBlockNoBN(nn.Module):
             out = nn.relu(out)
         out = Conv2d(self.nf, 3, kernel_init=scaled_kaiming_normal(0.1),
                      bias_init=nn.initializers.zeros, dtype=self.dtype,
-                     packed_io=self.packed_io, unpack_out=self.unpack_out,
+                     packed_io=self.packed_io,
                      name="conv2")(out, residual=x if self.packed_io else None)
         if self.packed_io:
             return out

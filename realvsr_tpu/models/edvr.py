@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from realvsr_tpu.models.common import (
     Blocks, Conv2d, DCNPack, ResidualBlockNoBN, avg_pool_3x3_s2,
-    conv3x3_fast_enabled, conv3x3_unpack_out_enabled, lrelu, max_pool_3x3_s2,
+    conv3x3_fast_enabled, lrelu, max_pool_3x3_s2,
 )
 from realvsr_tpu.ops.pallas.conv3x3_kernel import pack_pairs, unpack_pairs
 from realvsr_tpu.ops.resize import pixel_shuffle, resize_bilinear, upsample2x_bilinear
@@ -258,16 +258,10 @@ class _EDVRBase(nn.Module):
                   and not self.remat)
         if packed:
             l1 = pack_pairs(l1)
-        unpack_in_kernel = packed and conv3x3_unpack_out_enabled()
         l1 = BlocksT(ResidualBlockNoBN, self.front_RBs,
                      dict(nf=nf, dtype=dt, packed_io=packed),
-                     # chain exit emits plain NHWC in the kernel epilogue —
-                     # no XLA retile at the packed -> PCD/DCN boundary
-                     # (interpret/forced only; Mosaic rejects the cast)
-                     final_kwargs=(dict(unpack_out=True)
-                                   if unpack_in_kernel else None),
                      name="feature_extraction")(l1)
-        if packed and not unpack_in_kernel:
+        if packed:
             l1p = l1
             l1 = unpack_pairs(l1)
         else:
@@ -403,11 +397,9 @@ class EDVRNoUp(_EDVRBase):
         out = BlocksT(ResidualBlockNoBN, self.back_RBs,
                       dict(nf=self.nf, dtype=dt, packed_io=packed),
                       name="recon_trunk")(fea)
-        unpack_in_kernel = packed and conv3x3_unpack_out_enabled()
         out = Conv2d(64, 3, dtype=dt, packed_io=packed,
-                     unpack_out=unpack_in_kernel,
                      fused_act="lrelu", name="HRconv")(out)
-        if packed and not unpack_in_kernel:
+        if packed:
             out = unpack_pairs(out)
         out = Conv2d(self.nc, 3, dtype=dt, name="conv_last")(out)
         return out + x_center

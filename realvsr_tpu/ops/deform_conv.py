@@ -154,7 +154,6 @@ _TAP_LOOP_THRESHOLD = 96 * 96 * 16
 # shift-window MXU formulation (ops/deform_conv_block.py) — much faster on
 # TPU for large inputs, with offsets clamped to ±_BLOCK_MAX_OFFSET.
 _DEFAULT_IMPL: str | None = None
-_FRAME_HAT = "int32"  # DCN frame-kernel hat-build strategy (see sweep_dcn)
 _BLOCK_MAX_OFFSET: int = 8
 # 32 keeps the backward's per-chunk v buffers small (training memory);
 # inference-only callers (bench/eval) may raise it to 128 for ~5% speed.
@@ -166,8 +165,7 @@ _PALLAS_INTERPRET: bool = False
 
 def set_default_impl(impl: str | None, block_max_offset: int | None = None,
                      block_chunk: int | None = None,
-                     pallas_interpret: bool | None = None,
-                     frame_hat: str | None = None):
+                     pallas_interpret: bool | None = None):
     """Select the DCN implementation globally.
 
     impl: None (auto exact), 'columns', 'tap_loop', 'block' (clamped
@@ -177,11 +175,9 @@ def set_default_impl(impl: str | None, block_max_offset: int | None = None,
     previous setting.
     """
     global _DEFAULT_IMPL, _BLOCK_MAX_OFFSET, _BLOCK_CHUNK, \
-        _PALLAS_INTERPRET, _FRAME_HAT
+        _PALLAS_INTERPRET
     prev = (_DEFAULT_IMPL, _BLOCK_MAX_OFFSET, _BLOCK_CHUNK)
     _DEFAULT_IMPL = impl
-    if frame_hat is not None:
-        _FRAME_HAT = frame_hat
     if block_max_offset is not None:
         _BLOCK_MAX_OFFSET = int(block_max_offset)
     if block_chunk is not None:
@@ -310,7 +306,6 @@ def modulated_deform_conv(x: jax.Array, offset: jax.Array, mask: jax.Array,
             # 'frame' = fused Pallas kernel with in-kernel frame DMA
             # (forward-only; see ops/pallas/dcn_frame_kernel.py)
             use_pallas="frame" if impl == "frame" else False,
-            frame_hat=_FRAME_HAT,
             pallas_interpret=_PALLAS_INTERPRET)
     if impl == "tap_loop":
         return _modulated_deform_conv_tap_loop(

@@ -42,7 +42,6 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
                                 use_pallas: bool = False,
                                 pallas_interpret: bool = False,
                                 frame_fold: str = "slices",
-                                frame_hat: str = "int32",
                                 frame_gemm: str = "big") -> jax.Array:
     """DCNv2 with offsets clamped to [-max_offset, max_offset], NHWC.
 
@@ -78,7 +77,7 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
         return _frame_path(x, offset, mask, weight, bias, dg=dg, cpg=cpg,
                            r=r, bh=bh, bw=bw, k=k, kw=kw, dt=dt,
                            interpret=pallas_interpret, fold=frame_fold,
-                           hat=frame_hat, gemm=frame_gemm)
+                           gemm=frame_gemm)
 
     # zero-pad: r+1 before (tap -1 plus max negative offset), r+2+align
     # after, plus one extra block so partial q-group slices stay full-stride
@@ -408,6 +407,10 @@ def _frame_prep(x, offset, mask, weight, *, dg, cpg, r, bh, bw, k, kw, dt,
         val = (jnp.clip(offp.astype(jnp.float32), -float(r), float(r))
                + pos)
         fxp = jnp.round(val * scale).astype(jnp.int16)   # (b, hh, ww, dk2)
+        if fxp.size * 2 >= _PREP_BARRIER_BYTES:
+            # same reshape-mover temp-memory hazard as the two_stage
+            # branch above: pin the encode to the flat int16 layout
+            fxp = jax.lax.optimization_barrier(fxp)
         # one relayout -> rows (g, comp) with q = (tap, y, x) tap-major
         lyx = fxp.reshape(b, nby, bh, nbx, bw, dg, k, 2).transpose(
             0, 1, 3, 5, 7, 6, 2, 4).reshape(n_all, dg * 2, qn)
@@ -494,7 +497,7 @@ def _fold_dcoord(dcrd, offset, mask, *, b, dg, k, kw, r, bh, bw, h, w, geom):
 
 
 def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
-                dt, interpret, fold="slices", hat="int32", gemm="big"):
+                dt, interpret, fold="slices", gemm="big"):
     """v8 fused Pallas frame-DMA DCN with a custom VJP: the backward is a
     transposed Pallas kernel (ops/pallas/dcn_frame_kernel.py
     dcn_frame_fused_bwd) that recomputes the sampling per block instead of
@@ -516,7 +519,7 @@ def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
         return dcn_frame_fused(
             xp, lyx, m_q, wt_g, cpg=cpg, bh=bh, bw=bw, ph=g["ph"],
             pw=g["pw"], nby=g["nby"], nbx=g["nbx"], k=k, fold=fold,
-            hat=hat, gemm=gemm, interpret=interpret)
+            gemm=gemm, interpret=interpret)
 
     def core_fwd(x_, off_, m_, w_):
         return core(x_, off_, m_, w_), (x_, off_, m_, w_)
@@ -528,7 +531,6 @@ def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
         dpg, dcrd, dw = dcn_frame_fused_bwd(
             xp, lyx, m_q, wt_g, gout.astype(dt), cpg=cpg, bh=bh, bw=bw,
             ph=g["ph"], pw=g["pw"], nby=g["nby"], nbx=g["nbx"], k=k,
-            hat=hat if hat in ("batched",) else "int32",
             interpret=interpret)
         dx = _fold_dpg(dpg, b=b, dg=dg, cpg=cpg, bh=bh, bw=bw, r=r, h=h,
                        w=w, geom=g, hp2=hp2, wp2=wp2, wfull=wfull,

@@ -261,7 +261,7 @@ def unpack_grouped(x: jax.Array, splits: tuple[int, ...]) -> jax.Array:
 
 def _packed_kernel(x_ref, wt_ref, b_ref, res_ref, out_ref, slab_ref,
                    a_ref, sem_ref, *, mrows, wp, h, cin2, cout2, act,
-                   alpha, has_res, n_rows, dt, unpack_out=False):
+                   alpha, has_res, n_rows, dt):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     m = mrows * wp
@@ -340,12 +340,6 @@ def _packed_kernel(x_ref, wt_ref, b_ref, res_ref, out_ref, slab_ref,
     out = acc.astype(dt)
     if has_res:
         out = out + res_ref[...].reshape(m, cout2)
-    if unpack_out:
-        # row i of the packed acc holds pixels (2i | 2i+1): the (m, 2cout)
-        # -> (2m, cout) row-major reshape IS the unpacked pixel order, so
-        # the epilogue emits plain NHWC and the pack boundary costs no
-        # XLA retile copy
-        out = out.reshape(2 * m, cout2 // 2)
     out_ref[...] = out.reshape(out_ref.shape)
 
 
@@ -354,7 +348,6 @@ def conv3x3_packed(xp: jax.Array, weight: jax.Array,
                    h: int, act: str | None = None, alpha: float = 0.1,
                    residual: jax.Array | None = None,
                    mrows: int | None = None,
-                   unpack_out: bool = False,
                    splits: tuple[int, ...] | None = None,
                    interpret: bool = False) -> jax.Array:
     """Differentiable 3x3/s1/SAME conv on the pair-packed layout.
@@ -365,10 +358,8 @@ def conv3x3_packed(xp: jax.Array, weight: jax.Array,
     ``set_conv3x3_impl('pallas')`` during training is safe.
 
     xp: (B, H, W/2, 2*cin) from :func:`pack_pairs`; weight (3, 3, cin,
-    cout); returns (B, H, W/2, 2*cout) packed — or plain (B, H, W, cout)
-    NHWC with ``unpack_out=True`` (the epilogue emits unpacked rows, so
-    the chain-exit ``unpack_pairs`` costs no physical retile).  h is the
-    image height (for the dy boundary masks).
+    cout); returns (B, H, W/2, 2*cout) packed.  h is the image height
+    (for the dy boundary masks).
     """
     cout = weight.shape[3]
     has_bias = bias is not None
@@ -376,11 +367,11 @@ def conv3x3_packed(xp: jax.Array, weight: jax.Array,
     bi = bias if has_bias else jnp.zeros((cout,), xp.dtype)
     res = residual if has_res else jnp.zeros((1, 1, 1, 2 * cout), xp.dtype)
     return _packed_core(xp, weight, bi, res, h, act, alpha, mrows,
-                        interpret, has_res, unpack_out, splits)
+                        interpret, has_res, splits)
 
 
 def _packed_ref_xla(xp, weight, bias, res, h, act, alpha, has_res,
-                    unpack_out=False, splits=None):
+                    splits=None):
     """Stock-XLA equivalent of the packed kernel (backward path)."""
     x = unpack_pairs(xp) if splits is None else unpack_grouped(xp, splits)
     y = jax.lax.conv_general_dilated(
@@ -395,34 +386,32 @@ def _packed_ref_xla(xp, weight, bias, res, h, act, alpha, has_res,
     y = pack_pairs(y.astype(xp.dtype))
     if has_res:
         y = y + res
-    if unpack_out:
-        y = unpack_pairs(y)
     return y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _packed_core(xp, weight, bias, res, h, act, alpha, mrows, interpret,
-                 has_res, unpack_out, splits):
+                 has_res, splits):
     return _packed_pallas(xp, weight, bias,
                           residual=res if has_res else None,
                           h=h, act=act, alpha=alpha, mrows=mrows,
-                          interpret=interpret, unpack_out=unpack_out,
+                          interpret=interpret,
                           splits=splits)
 
 
 def _packed_core_fwd(xp, weight, bias, res, h, act, alpha, mrows,
-                     interpret, has_res, unpack_out, splits):
+                     interpret, has_res, splits):
     out = _packed_core(xp, weight, bias, res, h, act, alpha, mrows,
-                       interpret, has_res, unpack_out, splits)
+                       interpret, has_res, splits)
     return out, (xp, weight, bias, res)
 
 
-def _packed_core_bwd(h, act, alpha, mrows, interpret, has_res, unpack_out,
+def _packed_core_bwd(h, act, alpha, mrows, interpret, has_res,
                      splits, saved, g):
     xp, weight, bias, res = saved
     _, vjp = jax.vjp(
         lambda a, w, b, r: _packed_ref_xla(a, w, b, r, h, act, alpha,
-                                           has_res, unpack_out, splits),
+                                           has_res, splits),
         xp, weight, bias, res)
     return vjp(g)
 
@@ -435,7 +424,6 @@ def _packed_pallas(xp: jax.Array, weight: jax.Array,
                    h: int, act: str | None = None, alpha: float = 0.1,
                    residual: jax.Array | None = None,
                    mrows: int | None = None,
-                   unpack_out: bool = False,
                    splits: tuple[int, ...] | None = None,
                    interpret: bool = False) -> jax.Array:
     """Pallas forward of the pair-packed conv.
@@ -476,8 +464,7 @@ def _packed_pallas(xp: jax.Array, weight: jax.Array,
 
     kern = functools.partial(_packed_kernel, mrows=mrows, wp=wp, h=h,
                              cin2=cin2, cout2=cout2, act=act, alpha=alpha,
-                             has_res=has_res, n_rows=n_rows, dt=dt,
-                             unpack_out=unpack_out)
+                             has_res=has_res, n_rows=n_rows, dt=dt)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec((3, 3 * cin2, cout2), lambda i: (0, 0, 0),
@@ -488,13 +475,9 @@ def _packed_pallas(xp: jax.Array, weight: jax.Array,
          pl.BlockSpec((1, cout2), lambda i: (0, 0),
                       memory_space=pltpu.VMEM)),
     ]
-    cout = cout2 // 2
-    out_specs = (pl.BlockSpec((2 * m, cout), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM) if unpack_out else
-                 pl.BlockSpec((m, cout2), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM))
-    out_shape = (jax.ShapeDtypeStruct((2 * n_rows, cout), dt) if unpack_out
-                 else jax.ShapeDtypeStruct((n_rows, cout2), dt))
+    out_specs = pl.BlockSpec((m, cout2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_rows, cout2), dt)
     out = pl.pallas_call(
         kern,
         grid=(n_rows // m,),
@@ -512,8 +495,6 @@ def _packed_pallas(xp: jax.Array, weight: jax.Array,
             transcendentals=0),
         interpret=interpret,
     )(xf, wt, bi, res)
-    if unpack_out:
-        return out.reshape(b, h, wp * 2, cout)
     return out.reshape(b, h, wp, cout2)
 
 

@@ -77,31 +77,6 @@ def _decode_all(lyx_block, ly2, lx2, dt):
     return q0, frac * scale
 
 
-def _hats_batched(q0, frac, io_q, io_p, dg, dt):
-    """v10 candidate: build the lerp hats for ALL groups in one pair of
-    wide VPU expressions — (phr, dg*q) and (pw_built, dg*q) — instead of
-    dg separate builds.  Same element count, 8x fewer op dispatches; the
-    per-group matmuls slice lane-aligned column panels (q % 128 == 0).
-
-    q0/frac: (2*dg, q) as from :func:`_decode_all`.  Returns wy
-    (phr, dg*q), wx (128, dg*q) with zero tail rows."""
-    rows, q = q0.shape
-    phr = io_p.shape[0]
-    pw_built = io_q.shape[0]
-    # y rows (even) and x rows (odd) side by side: (dg, q) -> (1, dg*q)
-    y0 = q0[0::2, :].reshape(1, dg * q)
-    ty = frac[0::2, :].reshape(1, dg * q)
-    x0 = q0[1::2, :].reshape(1, dg * q)
-    tx = frac[1::2, :].reshape(1, dg * q)
-    one = jnp.asarray(1.0, dt)
-    wy = jnp.maximum(one - jnp.abs((io_p - y0).astype(dt) - ty), 0)
-    wx = jnp.maximum(one - jnp.abs((io_q - x0).astype(dt) - tx), 0)
-    if pw_built < 128:
-        wx = jnp.concatenate(
-            [wx, jnp.zeros((128 - pw_built, dg * q), dt)], axis=0)
-    return wy, wx
-
-
 def _hats(q0, frac, g, io_q, io_p, ph, pw, phr, dt, use_roll):
     """One-hot lerp hats for group g as SSA VALUES (no scratch refs — ref
     reuse across the group loop serializes VPU builds against the previous
@@ -133,12 +108,8 @@ def _hats(q0, frac, g, io_q, io_p, ph, pw, phr, dt, use_roll):
 
 
 def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, s_ref,
-            *maybe_hat_refs, p, k, dg, cpg, ph, pw, bh, nby, nbx,
-            ly2, lx2, fold, hat, use_roll, gemm):
-    if hat == "batched":
-        wy_all_ref, wx_all_ref, sem_ref = maybe_hat_refs
-    else:
-        (sem_ref,) = maybe_hat_refs
+            sem_ref, *, p, k, dg, cpg, ph, pw, bh, nby, nbx,
+            ly2, lx2, fold, use_roll, gemm):
     dt = out_ref.dtype
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -170,18 +141,9 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, s_ref,
     io_q = jax.lax.broadcasted_iota(jnp.int32, (pw_built, 1), 0)
     io_p = jax.lax.broadcasted_iota(jnp.int32, (phr, 1), 0)
     q0, frac = _decode_all(lyx_ref[0], ly2, lx2, dt)
-    qn = p * k
-    if hat == "batched":
-        wy_all, wx_all = _hats_batched(q0, frac, io_q, io_p, dg, dt)
-        wy_all_ref[:, :] = wy_all
-        wx_all_ref[:, :] = wx_all
     for g in range(dg):
-        if hat == "batched":
-            wy = wy_all_ref[:, g * qn:(g + 1) * qn]
-            wx = wx_all_ref[:, g * qn:(g + 1) * qn]
-        else:
-            wy, wx = _hats(q0, frac, g, io_q, io_p, ph, pw, phr, dt,
-                           use_roll)
+        wy, wx = _hats(q0, frac, g, io_q, io_p, ph, pw, phr, dt,
+                       use_roll)
         mask = m_ref[0, g:g + 1, :].astype(dt)
         pg = slab_ref[slot, g].reshape(phr * cpg, 128)
         h = jnp.dot(pg, wx,
@@ -240,7 +202,7 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
                     wt: jax.Array, *,
                     cpg: int, bh: int, bw: int, ph: int, pw: int,
                     nby: int, nbx: int, k: int = 9, fold: str = "slices",
-                    hat: str = "int32", gemm: str = "big",
+                    gemm: str = "big",
                     interpret: bool = False) -> jax.Array:
     b_, dg, nbx_, hpc, lanes = xp.shape
     assert nbx_ == nbx and lanes == 128 and pw <= 128
@@ -259,7 +221,7 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
 
     kern = functools.partial(_kernel, p=p, k=k, dg=dg, cpg=cpg, ph=ph,
                              pw=pw, bh=bh, nby=nby, nbx=nbx,
-                             ly2=ly2, lx2=lx2, fold=fold, hat=hat,
+                             ly2=ly2, lx2=lx2, fold=fold,
                              use_roll=False, gemm=gemm)  # Mosaic: no bf16 rotate
     flops = 2 * n_all * dg * (q * 128 * phr * cpg) + 2 * n_all * p * wt.size
     nbyx = nby * nbx
@@ -280,9 +242,6 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
     def out_index(i):
         return (i // nbyx, (i % nbyx) // nbx, i % nbx, 0)
 
-    hat_scratch = ([pltpu.VMEM((phr, dg * q), dt),
-                    pltpu.VMEM((128, dg * q), dt)]
-                   if hat == "batched" else [])
     out = pl.pallas_call(
         kern,
         grid=(n_all,),
@@ -300,7 +259,6 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((2, dg, phr * cpg, 128), dt),
             s_scratch,
-            *hat_scratch,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -337,18 +295,13 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
 
 def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
                 dw_ref, slab_ref, wx_ref, wy_ref, h_ref, s_ref,
-                *maybe_hat_refs, p, k, dg, cpg, ph, pw, bh, nby, nbx,
-                ly2, lx2, hat):
-    if hat == "batched":
-        wxt_all_ref, exd_all_ref, sem_ref = maybe_hat_refs
-    else:
-        (sem_ref,) = maybe_hat_refs
+                sem_ref, *, p, k, dg, cpg, ph, pw, bh, nby, nbx,
+                ly2, lx2):
     dt = slab_ref.dtype
     i = pl.program_id(0)
     n = pl.num_programs(0)
     phr = slab_ref.shape[2] // cpg
     pw_built = _round_up(pw, 16)
-    qn = p * k
 
     def slab_dma(slot, blk):
         b = blk // (nby * nbx)
@@ -376,18 +329,6 @@ def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
 
     io_q = jax.lax.broadcasted_iota(jnp.int32, (pw_built, 1), 0)
     io_p = jax.lax.broadcasted_iota(jnp.int32, (phr, 1), 0)
-    if hat == "batched":
-        # x-axis tent + derivative hats for ALL groups in two wide builds
-        # (the two (128, dg*q) matrices dominate the per-group VPU cost)
-        q0a, fraca = _decode_all(lyx_ref[0], ly2, lx2, dt)
-        x0a = q0a[1::2, :].reshape(1, dg * qn)
-        txa = fraca[1::2, :].reshape(1, dg * qn)
-        one = jnp.asarray(1.0, dt)
-        wxa = jnp.maximum(one - jnp.abs((io_q - x0a).astype(dt) - txa), 0)
-        exda = ((io_q == x0a + 1).astype(dt) - (io_q == x0a).astype(dt))
-        zpad = jnp.zeros((128 - pw_built, dg * qn), dt)
-        wxt_all_ref[:, :] = jnp.concatenate([wxa, zpad], axis=0)
-        exd_all_ref[:, :] = jnp.concatenate([exda, zpad], axis=0)
     gout = g_ref[0].reshape(p, g_ref.shape[-1])
     # dS = W @ G^T: (K, p)
     dS = jax.lax.dot_general(
@@ -417,17 +358,14 @@ def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
         e0y = (io_p == y0i).astype(dt)
         e1y = (io_p == y0i + 1).astype(dt)
         wy_ref[:, :] = e0y * (1 - ty) + e1y * ty
-        if hat == "batched":
-            wx_cur = wxt_all_ref[:, g * qn:(g + 1) * qn]
-        else:
-            lxi = lyx_ref[0, 2 * g + 1:2 * g + 2, :].astype(jnp.int32)
-            x2c = jnp.int32(lx2)
-            x0i = jax.lax.shift_right_logical(lxi, x2c)
-            tx = (lxi - jax.lax.shift_left(x0i, x2c)).astype(dt) \
-                * (2.0 ** -lx2)
-            wx_ref[0:pw_built, :] = ((io_q == x0i).astype(dt) * (1 - tx)
-                                     + (io_q == x0i + 1).astype(dt) * tx)
-            wx_cur = wx_ref[:, :]
+        lxi = lyx_ref[0, 2 * g + 1:2 * g + 2, :].astype(jnp.int32)
+        x2c = jnp.int32(lx2)
+        x0i = jax.lax.shift_right_logical(lxi, x2c)
+        tx = (lxi - jax.lax.shift_left(x0i, x2c)).astype(dt) \
+            * (2.0 ** -lx2)
+        wx_ref[0:pw_built, :] = ((io_q == x0i).astype(dt) * (1 - tx)
+                                 + (io_q == x0i + 1).astype(dt) * tx)
+        wx_cur = wx_ref[:, :]
         pg = slab_ref[slot, g].reshape(phr * cpg, 128)
         h_ref[:, :] = jnp.dot(pg, wx_cur,
                               preferred_element_type=jnp.float32).astype(dt)
@@ -462,12 +400,9 @@ def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
                 dpg_ref.shape[2:])
 
         # d/d tx: horizontal derivative hat
-        if hat == "batched":
-            exd_cur = exd_all_ref[:, g * qn:(g + 1) * qn]
-        else:
-            wx_ref[0:pw_built, :] = ((io_q == x0i + 1).astype(dt)
-                                     - (io_q == x0i).astype(dt))
-            exd_cur = wx_ref[:, :]
+        wx_ref[0:pw_built, :] = ((io_q == x0i + 1).astype(dt)
+                                 - (io_q == x0i).astype(dt))
+        exd_cur = wx_ref[:, :]
         hx = jnp.dot(pg, exd_cur,
                      preferred_element_type=jnp.float32).astype(dt)
         sx = fold(hx, wy_ref[:, :])
@@ -482,7 +417,7 @@ def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
 
 
 def dcn_frame_fused_bwd(xp, lyx, m, wt, gout, *, cpg, bh, bw, ph, pw,
-                        nby, nbx, k=9, hat="int32", interpret=False):
+                        nby, nbx, k=9, interpret=False):
     """Backward pass: returns (dpg_blocks, dcoord, dW).
 
     dpg_blocks (n, dg, phr*cpg, 128): per-block halo-window cotangents in
@@ -506,10 +441,7 @@ def dcn_frame_fused_bwd(xp, lyx, m, wt, gout, *, cpg, bh, bw, ph, pw,
 
     kern = functools.partial(_bwd_kernel, p=p, k=k, dg=dg, cpg=cpg, ph=ph,
                              pw=pw, bh=bh, nby=nby, nbx=nbx,
-                             ly2=ly2, lx2=lx2, hat=hat)
-    hat_scratch = ([pltpu.VMEM((128, dg * q), dt),
-                    pltpu.VMEM((128, dg * q), dt)]
-                   if hat == "batched" else [])
+                             ly2=ly2, lx2=lx2)
     dpg, dcrd, dw = pl.pallas_call(
         kern,
         grid=(n_all,),
@@ -543,7 +475,6 @@ def dcn_frame_fused_bwd(xp, lyx, m, wt, gout, *, cpg, bh, bw, ph, pw,
             pltpu.VMEM((phr, q), dt),
             pltpu.VMEM((phr * cpg, q), dt),
             pltpu.VMEM((dg * k * cpg, p), dt),
-            *hat_scratch,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(

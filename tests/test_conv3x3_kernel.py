@@ -120,67 +120,6 @@ def test_packed_custom_vjp_matches_xla_grad():
                                    atol=2e-4, err_msg=name)
 
 
-def test_packed_unpack_out_matches_xla():
-    """unpack_out=True: the packed kernel's epilogue emits plain NHWC that
-    must equal unpack_pairs of the packed output, forward and grad."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from realvsr_tpu.ops.pallas.conv3x3_kernel import (conv3x3_packed,
-                                                       pack_pairs,
-                                                       unpack_pairs)
-
-    rng = np.random.default_rng(5)
-    b, h, w, cin, cout = 2, 8, 16, 8, 8
-    x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
-    wgt = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.2, jnp.float32)
-    bias = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
-    res = jnp.asarray(rng.normal(size=(b, h, w // 2, 2 * cout)), jnp.float32)
-    xp = pack_pairs(x)
-
-    packed = conv3x3_packed(xp, wgt, bias, h=h, act="lrelu", residual=res,
-                            interpret=True)
-    unpacked = conv3x3_packed(xp, wgt, bias, h=h, act="lrelu", residual=res,
-                              unpack_out=True, interpret=True)
-    np.testing.assert_array_equal(np.asarray(unpacked),
-                                  np.asarray(unpack_pairs(packed)))
-
-    def loss_a(a):
-        return jnp.sum(conv3x3_packed(pack_pairs(a), wgt, bias, h=h,
-                                      act="lrelu", residual=res,
-                                      unpack_out=True, interpret=True) ** 2)
-
-    def loss_b(a):
-        return jnp.sum(unpack_pairs(
-            conv3x3_packed(pack_pairs(a), wgt, bias, h=h, act="lrelu",
-                           residual=res, interpret=True)) ** 2)
-
-    ga, gb = jax.grad(loss_a)(x), jax.grad(loss_b)(x)
-    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=2e-4)
-
-
-def test_unpack_out_hardware_gate():
-    """unpack_out is interpret-only by default: Mosaic rejects the
-    (m, 2c) -> (2m, c) epilogue cast on real TPUs (PERF_NOTES round-4);
-    hardware paths must exit packed unless the caller forces it."""
-    from realvsr_tpu.models import common
-
-    prev = dict(common._CONV3X3_IMPL)
-    try:
-        common.set_conv3x3_impl("pallas")
-        assert not common.conv3x3_unpack_out_enabled()
-        common.set_conv3x3_impl("pallas_interpret")
-        assert common.conv3x3_unpack_out_enabled()
-        common.set_conv3x3_impl("pallas", unpack_out=True)
-        assert common.conv3x3_unpack_out_enabled()
-        common.set_conv3x3_impl("xla")
-        assert not common.conv3x3_unpack_out_enabled()
-    finally:
-        common._CONV3X3_IMPL.clear()
-        common._CONV3X3_IMPL.update(prev)
-
-
 def test_packed_splits_matches_concat_conv():
     """splits: a channel-concat of two separately pair-packed tensors is
     convolved via the permuted packed-weight K rows — forward and grads

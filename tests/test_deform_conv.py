@@ -392,50 +392,30 @@ class TestFramePrepRelayouts:
             np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb),
                                           err_msg=name)
 
+    def test_prep_barrier_is_numerically_inert(self, monkeypatch):
+        """The size-gated optimization_barrier on the fixed-point encode
+        (the 1080p full-frame temp-memory fix) must not change any kernel
+        input.  CPU-test shapes never reach the 1 GiB gate, so force it
+        to 0 and compare both relayouts against the unbarriered output."""
+        from realvsr_tpu.ops import deform_conv_block as dcb
 
-class TestFrameHatVariants:
-    def test_batched_hats_bit_identical(self):
-        """hat='batched' (all-group wide hat builds, v10 candidate) must be
-        bit-identical to the per-group int32 tent build."""
-        from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
-
-        rng = np.random.default_rng(33)
-        b, h, w, cin, dgq, r = 2, 24, 40, 16, 4, 3
+        rng = np.random.default_rng(78)
+        b, h, w, cin, dg, r, bh, bw = 2, 12, 20, 16, 4, 3, 4, 64
         x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
-        off = jnp.asarray(
-            np.clip(rng.normal(size=(b, h, w, dgq * 18)) * 2, -r + .2, r - .2),
-            jnp.float32)
-        m = jnp.asarray(rng.uniform(size=(b, h, w, dgq * 9)), jnp.float32)
+        off = jnp.asarray(rng.normal(size=(b, h, w, dg * 18)) * 2,
+                          jnp.float32)
+        m = jnp.asarray(rng.uniform(size=(b, h, w, dg * 9)), jnp.float32)
         wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 8)) * 0.2, jnp.float32)
-        args = (x, off, m, wgt, None, 1, dgq)
-        kw = dict(max_offset=r, use_pallas="frame", pallas_interpret=True)
-        ref = modulated_deform_conv_block(*args, **kw)
-        bat = modulated_deform_conv_block(*args, frame_hat="batched", **kw)
-        np.testing.assert_array_equal(np.asarray(bat), np.asarray(ref))
+        statics = dict(dg=dg, cpg=cin // dg, r=r, bh=bh, bw=bw, k=9, kw=3,
+                       dt=jnp.float32)
+        ref = {rl: dcb._frame_prep(x, off, m, wgt, relayout=rl, **statics)
+               for rl in ("two_stage", "one_shot")}
+        monkeypatch.setattr(dcb, "_PREP_BARRIER_BYTES", 0)
+        for rl in ("two_stage", "one_shot"):
+            got = dcb._frame_prep(x, off, m, wgt, relayout=rl, **statics)
+            for name, ta, tb in zip(("xp", "lyx", "m_q", "wt_g"),
+                                    got, ref[rl]):
+                np.testing.assert_array_equal(
+                    np.asarray(ta), np.asarray(tb),
+                    err_msg=f"{rl}:{name}")
 
-    def test_batched_hats_backward_bit_identical(self):
-        """hat='batched' backward (wide x-hat builds) must produce
-        bit-identical gradients to the per-group path."""
-        from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
-
-        rng = np.random.default_rng(34)
-        b, h, w, cin, dgq, r = 1, 16, 32, 16, 4, 3
-        x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
-        off = jnp.asarray(
-            np.clip(rng.normal(size=(b, h, w, dgq * 18)) * 2, -r + .2, r - .2),
-            jnp.float32)
-        m = jnp.asarray(rng.uniform(size=(b, h, w, dgq * 9)), jnp.float32)
-        wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 8)) * 0.2, jnp.float32)
-
-        def loss(hat):
-            def f(x_, off_, m_, w_):
-                o = modulated_deform_conv_block(
-                    x_, off_, m_, w_, None, 1, dgq, max_offset=r,
-                    use_pallas="frame", pallas_interpret=True, frame_hat=hat)
-                return jnp.sum(jnp.sin(o))
-            return f
-
-        ga = jax.grad(loss("int32"), argnums=(0, 1, 2, 3))(x, off, m, wgt)
-        gb = jax.grad(loss("batched"), argnums=(0, 1, 2, 3))(x, off, m, wgt)
-        for a_, b_ in zip(ga, gb):
-            np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))

@@ -14,7 +14,6 @@ import bench
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--hat", default="int32")
     ap.add_argument("--h", type=int, default=512)
     ap.add_argument("--w", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
@@ -27,8 +26,7 @@ def main():
     from realvsr_tpu.models.edvr import EDVRNoUp
     from realvsr_tpu.ops.deform_conv import set_default_impl
 
-    set_default_impl("frame", block_max_offset=4, block_chunk=128,
-                     frame_hat=args.hat)
+    set_default_impl("frame", block_max_offset=4, block_chunk=128)
     set_conv3x3_impl("pallas")
     model = EDVRNoUp(nf=64, nc=3, nframes=bench.NFRAMES, groups=8,
                      front_RBs=5, back_RBs=10, predeblur=False, HR_in=False,
@@ -40,7 +38,7 @@ def main():
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         params)
     fps = bench._measure(model, params, args.h, args.w, batch=args.batch)
-    print(f"primary: {args.w}x{args.h} B={args.batch} hat={args.hat} "
+    print(f"primary: {args.w}x{args.h} B={args.batch} "
           f"inference {fps:.4f} frames/s", flush=True)
 
 

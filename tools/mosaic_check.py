@@ -3,9 +3,9 @@
 Mosaic toolchain — without touching (or needing) the chip.
 
 Round-4 lesson (PERF_NOTES): interpret-mode parity is necessary but NOT
-sufficient — two interpret-verified round-4 kernel variants (the
-unpack_out epilogue and hat='batched') were rejected by
-infer-vector-layout / gather lowering on the actual v5e toolchain.  The
+sufficient — two interpret-verified round-4 kernel variants (an in-kernel
+unpack epilogue and all-group hat builds, both deleted in round 5) were
+rejected by infer-vector-layout / gather lowering on the v5e toolchain.  The
 axon compile helper is a *chipless* AOT service, so ``jit(f).lower(x)
 .compile()`` validates Mosaic lowering even while the chip is busy (or
 absent).  Run this after ANY kernel change:
@@ -49,9 +49,6 @@ def main():
     xp = pack_pairs(x)
     checks.append(("conv3x3_packed",
                    lambda a, b: conv3x3_packed(a, b, h=64), (xp, w), True))
-    checks.append(("conv3x3_packed unpack_out  [interpret-only]",
-                   lambda a, b: conv3x3_packed(a, b, h=64, unpack_out=True),
-                   (xp, w), False))
     # concat-of-packed input (PCD offset chains): K-row permutation only —
     # kernel body identical, but check the 256-lane K shapes anyway
     xg = jnp.concatenate([xp, xp], axis=-1)
@@ -67,7 +64,7 @@ def main():
     checks.append(("conv3x3 plain  [interpret-only]", conv3x3, (x, w),
                    False))
 
-    # --- DCN frame kernel hat variants (ops/pallas/dcn_frame_kernel) ---
+    # --- DCN frame kernel (ops/pallas/dcn_frame_kernel) ----------------
     from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
 
     dg, r = 8, 4
@@ -76,23 +73,17 @@ def main():
     m = jnp.asarray(rng.uniform(size=(1, 64, 128, dg * 9)), jnp.bfloat16)
     wd = jnp.asarray(rng.normal(size=(3, 3, 64, 64)) * 0.1, jnp.bfloat16)
 
-    def dcn(hat):
-        def fn(x_, o_, m_, w_):
-            return modulated_deform_conv_block(
-                x_, o_, m_, w_, None, padding=1, deformable_groups=dg,
-                max_offset=r, use_pallas="frame", frame_hat=hat,
-                compute_dtype=jnp.bfloat16)
-        return fn
+    def dcn_fn(x_, o_, m_, w_):
+        return modulated_deform_conv_block(
+            x_, o_, m_, w_, None, padding=1, deformable_groups=dg,
+            max_offset=r, use_pallas="frame",
+            compute_dtype=jnp.bfloat16)
 
-    checks.append(("dcn_frame hat=int32", dcn("int32"),
-                   (xd, off, m, wd), True))
-    checks.append(("dcn_frame hat=batched  [interpret-only]", dcn("batched"),
-                   (xd, off, m, wd), False))
+    checks.append(("dcn_frame", dcn_fn, (xd, off, m, wd), True))
 
     # --- DCN frame backward (custom VJP through the fused kernel) ------
     def dcn_grad(x_, o_, m_, w_):
-        f = dcn("int32")
-        return jax.grad(lambda *a: jnp.sum(f(*a).astype(jnp.float32)),
+        return jax.grad(lambda *a: jnp.sum(dcn_fn(*a).astype(jnp.float32)),
                         argnums=(0, 1, 2, 3))(x_, o_, m_, w_)
 
     checks.append(("dcn_frame bwd (custom VJP)", dcn_grad,

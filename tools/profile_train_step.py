@@ -24,7 +24,6 @@ def main():
     ap.add_argument("--size", type=int, default=192)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=2)
-    ap.add_argument("--hat", default="int32")
     ap.add_argument("--outdir", default="/tmp/edvr_train_trace")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--compile_only", action="store_true",
@@ -43,7 +42,7 @@ def main():
     from realvsr_tpu.train.state import create_train_state
     from realvsr_tpu.train.wrappers import make_train_step
 
-    set_default_impl("frame", block_max_offset=4, frame_hat=args.hat)
+    set_default_impl("frame", block_max_offset=4)
     opt = {
         "model": "VideoSR_AllPair_YCbCr_Split",
         "train": {

@@ -64,28 +64,26 @@ def main():
     m = jnp.asarray(rng.uniform(size=(b, h, w, dg * 9)), jnp.bfloat16)
     wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 64)) * 0.1, jnp.bfloat16)
 
-    geoms = [(4, 64)]
-    folds = ["int32", "batched"]  # round-4: per-group tent vs all-group wide builds
+    geoms = [(4, 64), (4, 32), (8, 64)]
     for geom in geoms:
-        for fold in folds:
-            # off/m/wgt must be jit ARGUMENTS — closed-over they become HLO
-            # constants and blow past the remote-compile payload limit
-            def fn(x_, off_, m_, wgt_, geom=geom, fold=fold):
-                return modulated_deform_conv_block(
-                    x_, off_, m_, wgt_, None, padding=1,
-                    deformable_groups=dg,
-                    max_offset=r, block=geom, use_pallas="frame",
-                    frame_hat=fold, compute_dtype=jnp.bfloat16)
+        # off/m/wgt must be jit ARGUMENTS — closed-over they become HLO
+        # constants and blow past the remote-compile payload limit
+        def fn(x_, off_, m_, wgt_, geom=geom):
+            return modulated_deform_conv_block(
+                x_, off_, m_, wgt_, None, padding=1,
+                deformable_groups=dg,
+                max_offset=r, block=geom, use_pallas="frame",
+                compute_dtype=jnp.bfloat16)
 
-            try:
-                t0 = time.perf_counter()
-                dt = measure(fn, x, off, m, wgt)
-                ct = time.perf_counter() - t0
-                print(f"geom={geom} fold={fold}: {dt * 1e3:8.2f} ms/call "
-                      f"(compile+measure {ct:.0f}s)", flush=True)
-            except Exception as e:
-                print(f"geom={geom} fold={fold}: FAILED {type(e).__name__}: "
-                      f"{str(e)[:200]}", flush=True)
+        try:
+            t0 = time.perf_counter()
+            dt = measure(fn, x, off, m, wgt)
+            ct = time.perf_counter() - t0
+            print(f"geom={geom}: {dt * 1e3:8.2f} ms/call "
+                  f"(compile+measure {ct:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"geom={geom}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":
