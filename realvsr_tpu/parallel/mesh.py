@@ -19,13 +19,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def maybe_initialize_distributed() -> None:
-    """Multi-process bootstrap (coordinator-based, replaces init_dist).
+def _cluster_env_detected() -> bool:
+    """True when JAX's standard cluster auto-detection applies — explicit
+    coordinator env vars, or any registered cluster environment (TPU
+    pod/GKE metadata, Slurm, OpenMPI, k8s...)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return True
+    try:
+        from jax._src import clusters
 
-    No-op unless the standard JAX cluster env vars are present.
-    """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+        return any(c.is_env_present() for c in clusters.ClusterEnv._cluster_types)
+    except Exception:
+        return False
+
+
+def maybe_initialize_distributed() -> None:
+    """Multi-process bootstrap (replaces the reference's NCCL init_dist,
+    train.py:19-26): call ``jax.distributed.initialize()`` whenever JAX's
+    standard cluster auto-detection applies — real multi-host TPU pods
+    auto-detect coordinator/rank from platform metadata, not just from
+    JAX_COORDINATOR_ADDRESS.  Single-process (no cluster environment, or
+    already initialized) remains a no-op."""
+    if not _cluster_env_detected():
+        return
+    try:
+        from jax._src.distributed import global_state
+
+        if getattr(global_state, "client", None) is not None:
+            return  # already initialized
+    except Exception:
+        pass
+    jax.distributed.initialize()
 
 
 def create_mesh(data_axis: int | None = None, model_axis: int = 1,

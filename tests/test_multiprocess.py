@@ -194,3 +194,28 @@ def test_iteration_sampler_process_disjoint():
     for r, st in enumerate(streams):
         np.testing.assert_array_equal(st, full[r:total:world])
     assert sum(len(st) for st in streams) == total
+
+
+def test_maybe_initialize_distributed_single_process_noop(monkeypatch):
+    """No cluster environment -> no jax.distributed.initialize() call;
+    any detected cluster env (or JAX_COORDINATOR_ADDRESS) -> exactly one.
+    Ref: the reference only bootstraps when --launcher is passed
+    (train.py:19-26); real TPU pods want unconditional auto-detection."""
+    import realvsr_tpu.parallel.mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(mesh_mod.jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    # this CI process is not a Slurm/MPI/TPU-pod member: must be a no-op
+    mesh_mod.maybe_initialize_distributed()
+    assert calls == []
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:9999")
+    mesh_mod.maybe_initialize_distributed()
+    assert calls == [1]
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    monkeypatch.setattr(mesh_mod, "_cluster_env_detected", lambda: True)
+    mesh_mod.maybe_initialize_distributed()
+    assert calls == [1, 1]
