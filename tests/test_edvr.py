@@ -3,6 +3,7 @@
 Reference torch modules run with a grid_sample-based DCN substitute
 (torch_dcn_oracle); weights transfer through the production .pth importer.
 """
+import os
 import sys
 import types
 
@@ -147,3 +148,57 @@ def test_edvr_frame_kernel_matches_exact_at_init():
     finally:
         dc.set_default_impl(*prev, pallas_interpret=False)
     np.testing.assert_allclose(frm, exact, atol=2e-5)
+
+
+def test_wi_gt_end_to_end_from_synthetic_pth(ref_edvr, tmp_path):
+    """Keep the pretrained-parity path warm (the released reference .pth
+    models aren't in this image): a torch-side EDVR_NoUp random init is
+    torch.save'd as a state_dict, imported through the production
+    checkpoint.load_network shim, evaluated end-to-end by evaluate_wi_gt
+    (the test_RealVSR_wi_GT.py:207-216 pipeline), and the forward is
+    asserted equal to the torch model on the same pipeline window."""
+    import cv2
+
+    from realvsr_tpu.data.imageio import read_img_seq
+    from realvsr_tpu.eval.sliding_window import make_forward
+    from realvsr_tpu.eval.test_wi_gt import evaluate_wi_gt
+    from realvsr_tpu.train import checkpoint as ckpt
+
+    torch.manual_seed(7)
+    tmodel = ref_edvr.EDVR_NoUp(w_TSA=False, **CFG).eval()
+    pth = str(tmp_path / "synthetic_G.pth")
+    torch.save(tmodel.state_dict(), pth)
+
+    # tiny test set: one sequence, 4 frames, 32x48 (pyramid needs %4==0)
+    rng = np.random.default_rng(11)
+    lq_root, gt_root = tmp_path / "LQ", tmp_path / "GT"
+    for root in (lq_root, gt_root):
+        (root / "001").mkdir(parents=True)
+    for t in range(4):
+        frame = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+        cv2.imwrite(str(lq_root / "001" / f"{t:05d}.png"), frame)
+        cv2.imwrite(str(gt_root / "001" / f"{t:05d}.png"), frame)
+
+    model = EDVRNoUp(w_TSA=False, **CFG)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, 16, 16, 3)))["params"]
+    params = ckpt.load_network(pth, params)
+
+    out_dir = str(tmp_path / "results")
+    summary = evaluate_wi_gt(model, params, str(lq_root), str(gt_root),
+                             n_frames=3, color="YCbCr",
+                             save_folder=out_dir)
+    assert np.isfinite(summary["psnr"]) and np.isfinite(summary["ssim"])
+    import glob as _glob
+
+    assert len(_glob.glob(os.path.join(out_dir, "001", "*.png"))) == 4
+
+    # the forward that produced those outputs == torch forward, same window
+    imgs = read_img_seq(str(lq_root / "001"), color="YCbCr")
+    window = imgs[0:3]
+    ours = np.asarray(make_forward(model, params)(jnp.asarray(window)))
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(
+            window.transpose(0, 3, 1, 2)[None].copy()))
+    np.testing.assert_allclose(ours, ref.numpy().transpose(0, 2, 3, 1)[0],
+                               atol=2e-5)
