@@ -82,13 +82,20 @@ class TrainLoader:
             return self.dataset[int(idx)]
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                    args = [(b * self.batch_size + i, ix)
-                            for i, ix in enumerate(chunk)]
-                    samples = list(pool.map(fetch_sample, args))
-                    q.put(collate(samples))
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        chunk = indices[b * self.batch_size:
+                                        (b + 1) * self.batch_size]
+                        args = [(b * self.batch_size + i, ix)
+                                for i, ix in enumerate(chunk)]
+                        samples = list(pool.map(fetch_sample, args))
+                        q.put(collate(samples))
+            except RuntimeError:
+                # interpreter shutdown while prefetching (the consumer
+                # finished training mid-epoch): exit quietly — this
+                # daemon thread's pool is torn down under it
+                return
             q.put(stop)
 
         t = threading.Thread(target=producer, daemon=True)

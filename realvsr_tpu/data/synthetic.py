@@ -49,6 +49,7 @@ class SyntheticVSRDataset:
     def __init__(self, opt: dict):
         self.n_frames = opt.get("N_frames") or 3
         self.gt_size = opt.get("GT_size") or 64
+        self.scale = opt.get("scale") or 1
         self.num_seqs = opt.get("num_seqs") or 8
         self.frames_per_seq = opt.get("frames_per_seq") or 10
         self.frame_h = opt.get("frame_h") or max(self.gt_size, 96)
@@ -225,11 +226,19 @@ def _degrade_realistic(img: np.ndarray, rng: np.random.Generator):
 
 
 @functools.lru_cache(maxsize=4096)
-def _lq_frame(seq: int, t: int, h: int, w: int) -> np.ndarray:
+def _lq_frame(seq: int, t: int, h: int, w: int, scale: int = 1) -> np.ndarray:
     """Cached degraded frame: the degradation rng is derived purely from
-    (seq, t), so the LQ frame is a pure function of the key too."""
-    return _degrade_realistic(_motion_frame(seq, t, h, w),
-                              np.random.default_rng(seq * 1000 + t))
+    (seq, t), so the LQ frame is a pure function of the key too.  For
+    ``scale`` > 1 the degraded frame is MATLAB-bicubic downsampled x1/scale
+    (the reference's LR generation recipe,
+    codes/scripts/generate_LR_BI_Vimeo90K.m)."""
+    lq = _degrade_realistic(_motion_frame(seq, t, h, w),
+                            np.random.default_rng(seq * 1000 + t))
+    if scale > 1:
+        from realvsr_tpu.ops.resize import matlab_imresize_np
+
+        lq = np.clip(matlab_imresize_np(lq, 1.0 / scale), 0.0, 1.0)
+    return lq.astype(np.float32)
 
 
 class SyntheticMotionVSRDataset(SyntheticVSRDataset):
@@ -243,15 +252,18 @@ class SyntheticMotionVSRDataset(SyntheticVSRDataset):
             int(np.clip(frame + d, 0, self.frames_per_seq - 1))
             for d in range(-half, half + 1)
         ]
+        s = self.scale
         gts = [_motion_frame(seq, t, self.frame_h, self.frame_w)
                for t in neighbors]
-        lqs = [_lq_frame(seq, t, self.frame_h, self.frame_w)
+        lqs = [_lq_frame(seq, t, self.frame_h, self.frame_w, s)
                for t in neighbors]
         gt_size = self.gt_size
-        y = rng.integers(0, self.frame_h - gt_size + 1)
-        x = rng.integers(0, self.frame_w - gt_size + 1)
+        # crop origin aligned to the scale grid so LQ/GT crops correspond
+        y = s * int(rng.integers(0, (self.frame_h - gt_size) // s + 1))
+        x = s * int(rng.integers(0, (self.frame_w - gt_size) // s + 1))
         gts = [g[y:y + gt_size, x:x + gt_size] for g in gts]
-        lqs = [l[y:y + gt_size, x:x + gt_size] for l in lqs]
+        lqs = [l[y // s:(y + gt_size) // s, x // s:(x + gt_size) // s]
+               for l in lqs]
         return {
             "LQs": np.stack(lqs).astype(np.float32),
             "GT": np.stack(gts).astype(np.float32),
@@ -274,6 +286,7 @@ class SyntheticMotionVideoTestDataset(SyntheticVideoTestDataset):
         self.frames_per_seq = opt.get("frames_per_seq") or 6
         h = opt.get("frame_h") or 64
         w = opt.get("frame_w") or 64
+        scale = opt.get("scale") or 1
         self.imgs_gt, self.imgs_lq = {}, {}
         self.entries = []
         for s0 in range(self.num_seqs):
@@ -282,7 +295,7 @@ class SyntheticMotionVideoTestDataset(SyntheticVideoTestDataset):
             gts = np.stack([_motion_frame(s, t, h, w)
                             for t in range(self.frames_per_seq)])
             lqs = np.stack([
-                _degrade_realistic(gts[t], np.random.default_rng(s * 1000 + t))
+                _lq_frame(s, t, h, w, scale)
                 for t in range(self.frames_per_seq)
             ])
             self.imgs_gt[name] = gts

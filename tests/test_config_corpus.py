@@ -63,13 +63,22 @@ def test_repo_train_yaml_builds_and_dispatches(cfg):
 
 
 def test_repo_ships_every_reference_config():
-    """Every reference train config has a same-named repo port (the EDVR
-    Vimeo90K config is shipped as train_EDVR_Vimeo90K.yml)."""
-    renames = {"train_EDVR_woTSA_Vimeo90K.yml": "train_EDVR_Vimeo90K.yml"}
+    """Every reference train config has a same-named repo port."""
     repo_names = {os.path.basename(c) for c in repo_cfgs}
-    missing = []
-    for c in ref_cfgs:
-        name = os.path.basename(c)
-        if renames.get(name, name) not in repo_names:
-            missing.append(name)
+    missing = [os.path.basename(c) for c in ref_cfgs
+               if os.path.basename(c) not in repo_names]
     assert not missing, f"missing ports: {missing}"
+
+
+def test_edvr_vimeo_port_is_faithful():
+    """The EDVR Vimeo90K port must match the reference's geometry — it
+    previously drifted to a scale-2/TSA/7-frame variant (now shipped
+    separately as train_EDVRx4_TSA_Vimeo90K.yml, an explicit extension)."""
+    opt = parse(os.path.join(REPO_CFG_DIR, "train_EDVR_woTSA_Vimeo90K.yml"),
+                is_train=True, root="/tmp/corpus_test")
+    assert opt["scale"] == 1
+    assert opt["network_G"]["which_model_G"] == "EDVR_NoUp"
+    assert not opt["network_G"]["w_TSA"]
+    assert opt["network_G"]["nframes"] == 3
+    assert opt["model"] == "VideoSR_AllPair"
+    assert opt["train"]["pixel_criterion"] == "cb"

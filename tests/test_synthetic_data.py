@@ -40,3 +40,41 @@ def test_heldout_sequences_disjoint_from_training():
     tr = _motion_frame(0, 0, 64, 64)
     ho = _motion_frame(100, 0, 64, 64)
     assert np.abs(tr - ho).mean() > 0.01
+
+
+def test_scale4_dataset_item_geometry():
+    # x4 mode (VERDICT round-4 item 7): LQ frames are MATLAB-bicubic
+    # 1/4 of the degraded GT; crops stay aligned on the scale grid
+    from realvsr_tpu.data.synthetic import SyntheticMotionVSRDataset
+    from realvsr_tpu.ops.resize import matlab_imresize_np
+
+    ds = SyntheticMotionVSRDataset({
+        "N_frames": 3, "GT_size": 64, "scale": 4, "num_seqs": 2,
+        "frames_per_seq": 4, "frame_h": 96, "frame_w": 96,
+    })
+    item = ds.get(5, np.random.default_rng(0))
+    assert item["GT"].shape == (3, 64, 64, 3)
+    assert item["LQs"].shape == (3, 16, 16, 3)
+    # the LQ crop equals cropping the full-frame downsample (alignment)
+    seq, frame = (int(v) for v in ds.keys[5].split("_"))
+    full_lq = np.clip(matlab_imresize_np(
+        _degrade_realistic(_motion_frame(seq, frame, 96, 96),
+                           np.random.default_rng(seq * 1000 + frame)),
+        0.25), 0, 1).astype(np.float32)
+    center = item["LQs"][1]
+    found = any(
+        np.array_equal(full_lq[y:y + 16, x:x + 16], center)
+        for y in range(0, 9) for x in range(0, 9))
+    assert found
+
+
+def test_scale4_test_dataset_geometry():
+    from realvsr_tpu.data.synthetic import SyntheticMotionVideoTestDataset
+
+    ds = SyntheticMotionVideoTestDataset({
+        "N_frames": 3, "scale": 4, "num_seqs": 1, "frames_per_seq": 4,
+        "frame_h": 64, "frame_w": 64, "padding": "new_info",
+    })
+    item = ds[0]
+    assert item["LQs"].shape == (3, 16, 16, 3)
+    assert item["GT"].shape == (64, 64, 3)
