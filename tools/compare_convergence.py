@@ -15,7 +15,7 @@ import re
 ITER_RE = re.compile(
     r"iter:\s*([\d,]+),\s*([\d.]+) it/s\]\s*(.*)")
 LOSS_RE = re.compile(r"(l_\w+):\s*([\d.eE+-]+)")
-VAL_RE = re.compile(r"# Validation # PSNR: ([\d.]+)")
+VAL_RE = re.compile(r"# Validation # PSNR: (\d+(?:\.\d+)?)")
 
 
 def parse(path):
