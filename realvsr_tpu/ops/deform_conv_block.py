@@ -334,7 +334,13 @@ def _frame_prep(x, offset, mask, weight, *, dg, cpg, r, bh, bw, k, kw, dt,
     xr = jnp.swapaxes(xg, 2, 3)                      # (B, Hp, C, Wp)
     xr = xr.reshape(b, hp2, dg, cpg, wp2).transpose(0, 2, 1, 3, 4)
     xr = xr.reshape(b, dg, hp2 * cpg, wp2)
-    # overlapping column panels: stride bw, width 128 (lane-aligned DMA)
+    # overlapping column panels: stride bw, width 128 (lane-aligned DMA).
+    # A 64-lane window (halving panel HBM traffic, the slab DMA, and the
+    # sampling matmul's K depth) was built and interpret-verified in round
+    # 5 but the REAL Mosaic toolchain rejects ANY non-128 minor dim in
+    # kernel DMAs/outputs (minimal probe: a bare (16, 64) VMEM scratch +
+    # async_copy fails tpu_compile_helper) -- structurally dead on v5e,
+    # removed per the round-4 interpret-only lesson.
     wfull = (nbx - 1) * bw + 128
     if wp2 < wfull:
         xr = jnp.pad(xr, ((0, 0),) * 3 + ((0, wfull - wp2),))
@@ -518,7 +524,7 @@ def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
         xp, lyx, m_q, wt_g, g, _ = _frame_prep(x_, off_, m_, w_, **statics)
         return dcn_frame_fused(
             xp, lyx, m_q, wt_g, cpg=cpg, bh=bh, bw=bw, ph=g["ph"],
-            pw=g["pw"], nby=g["nby"], nbx=g["nbx"], k=k, fold=fold,
+            pw=g["pw"], nby=g["nby"], nbx=g["nbx"], k=k, kw=kw, fold=fold,
             gemm=gemm, interpret=interpret)
 
     def core_fwd(x_, off_, m_, w_):

@@ -108,7 +108,7 @@ def _hats(q0, frac, g, io_q, io_p, ph, pw, phr, dt, use_roll):
 
 
 def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, s_ref,
-            sem_ref, *, p, k, dg, cpg, ph, pw, bh, nby, nbx,
+            sem_ref, *, p, k, kw, dg, cpg, ph, pw, bh, nby, nbx,
             ly2, lx2, fold, use_roll, gemm):
     dt = out_ref.dtype
     i = pl.program_id(0)
@@ -148,7 +148,30 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, s_ref,
         pg = slab_ref[slot, g].reshape(phr * cpg, 128)
         h = jnp.dot(pg, wx,
                     preferred_element_type=jnp.float32).astype(dt)
-        if fold == "tree":
+        if fold == "band":
+            # per-tap banded vertical fold: tap-row tr columns only ever
+            # sample strips [tr, tr + ph - 3] (ly = y%bh + r + tr +
+            # clip(dy, -r, r) with ph = bh + 2r + 3, and prep clamps the
+            # offsets), so each tap folds ph - 2 strips instead of phr.
+            # Requires p % 128 == 0 so the per-tap column windows are
+            # lane-tile aligned.
+            nstr = ph - 2
+            for kk in range(k):
+                tr = kk // kw
+                cols = slice(kk * p, (kk + 1) * p)
+                hk_0 = h[tr * cpg:(tr + 1) * cpg, cols]
+                sk = hk_0 * wy[tr:tr + 1, cols]
+                for pp in range(tr + 1, min(tr + nstr, phr)):
+                    sk = sk + (h[pp * cpg:(pp + 1) * cpg, cols]
+                               * wy[pp:pp + 1, cols])
+                sk = sk * mask[:, cols]
+                if gemm == "taps":
+                    s_ref[g * cpg:(g + 1) * cpg, cols] = sk
+                else:
+                    row = (g * k + kk) * cpg
+                    s_ref[row:row + cpg, :] = sk
+            s = None
+        elif fold == "tree":
             # expanded tent at (phr*cpg, q) + contiguous halving adds
             # (measured SLOWER than the strided slices fold: the (phr*cpg,
             # q) build+multiply outweighs the half-tile FMA penalty)
@@ -169,16 +192,17 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, s_ref,
             s = h[0:cpg, :] * wy[0:1, :]
             for pp in range(1, phr):
                 s = s + h[pp * cpg:(pp + 1) * cpg, :] * wy[pp:pp + 1, :]
-        s = s * mask
-        if gemm == "taps":
-            # one (cpg, q) store per group; the tap reindex moves into
-            # k accumulating K=dg*cpg GEMMs below (72 strided half-tile
-            # stores -> dg wide ones)
-            s_ref[g * cpg:(g + 1) * cpg, :] = s
-        else:
-            for kk in range(k):
-                row = (g * k + kk) * cpg
-                s_ref[row:row + cpg, :] = s[:, kk * p:(kk + 1) * p]
+        if fold != "band":
+            s = s * mask
+            if gemm == "taps":
+                # one (cpg, q) store per group; the tap reindex moves into
+                # k accumulating K=dg*cpg GEMMs below (72 strided half-tile
+                # stores -> dg wide ones)
+                s_ref[g * cpg:(g + 1) * cpg, :] = s
+            else:
+                for kk in range(k):
+                    row = (g * k + kk) * cpg
+                    s_ref[row:row + cpg, :] = s[:, kk * p:(kk + 1) * p]
     if gemm == "taps":
         acc32 = jax.lax.dot_general(
             s_ref[:, 0:p], wt_ref[0], (((0,), (0,)), ((), ())),
@@ -201,8 +225,8 @@ def _kernel(lyx_ref, m_ref, xp_ref, wt_ref, out_ref, slab_ref, s_ref,
 def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
                     wt: jax.Array, *,
                     cpg: int, bh: int, bw: int, ph: int, pw: int,
-                    nby: int, nbx: int, k: int = 9, fold: str = "slices",
-                    gemm: str = "big",
+                    nby: int, nbx: int, k: int = 9, kw: int = 3,
+                    fold: str = "slices", gemm: str = "big",
                     interpret: bool = False) -> jax.Array:
     b_, dg, nbx_, hpc, lanes = xp.shape
     assert nbx_ == nbx and lanes == 128 and pw <= 128
@@ -212,6 +236,8 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
     p = q // k
     assert p == bh * bw and n_all == b_ * nby * nbx
     assert (bh * cpg) % 16 == 0, "row-slice alignment needs bh*cpg % 16 == 0"
+    if fold == "band":
+        assert p % 128 == 0, "band fold needs lane-aligned tap columns"
     fy, fx = fx_scales(ph, pw)
     ly2, lx2 = fy.bit_length() - 1, fx.bit_length() - 1
     # slab row-count padded so phr*cpg is a 16-multiple (sublane tiling);
@@ -219,8 +245,8 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
     phr = _round_up(ph * cpg, 16) // cpg
     dt = xp.dtype
 
-    kern = functools.partial(_kernel, p=p, k=k, dg=dg, cpg=cpg, ph=ph,
-                             pw=pw, bh=bh, nby=nby, nbx=nbx,
+    kern = functools.partial(_kernel, p=p, k=k, kw=kw, dg=dg, cpg=cpg,
+                             ph=ph, pw=pw, bh=bh, nby=nby, nbx=nbx,
                              ly2=ly2, lx2=lx2, fold=fold,
                              use_roll=False, gemm=gemm)  # Mosaic: no bf16 rotate
     flops = 2 * n_all * dg * (q * 128 * phr * cpg) + 2 * n_all * p * wt.size

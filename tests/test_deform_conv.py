@@ -219,6 +219,37 @@ class TestPallasFusedKernel:
         # position quantization bounds the sampled-value error at ~5e-3
         np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=8e-3)
 
+    def test_band_fold_matches_slices_fold(self):
+        """fold='band' (per-tap banded vertical fold over the ph-2 strips
+        tap row tr can ever sample — Mosaic-validated round 5) must agree
+        with the dense 'slices' fold at the same geometry to float
+        round-off, for both gemm modes."""
+        from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
+
+        rng = np.random.default_rng(33)
+        b, h, w, cin, dgq, r = 1, 16, 128, 32, 4, 4
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+        off = jnp.asarray(rng.normal(size=(b, h, w, dgq * 18)) * 3,
+                          jnp.float32)
+        m = jnp.asarray(rng.uniform(size=(b, h, w, dgq * 9)), jnp.float32)
+        wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 16)) * 0.2,
+                          jnp.float32)
+
+        def run(**kw):
+            return modulated_deform_conv_block(
+                x, off, m, wgt, None, 1, dgq, max_offset=r,
+                use_pallas="frame", pallas_interpret=True,
+                compute_dtype=jnp.float32, **kw)
+
+        ref = run()
+        for kw in (dict(frame_fold="band"),
+                   dict(frame_fold="band", frame_gemm="taps"),
+                   dict(frame_fold="band", block=(4, 32))):
+            base = run(block=kw["block"]) if "block" in kw else ref
+            got = run(**kw)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                       atol=1e-5, err_msg=str(kw))
+
 
 @pytest.mark.slow
 class TestFrameKernelVJP:

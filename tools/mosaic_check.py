@@ -89,6 +89,29 @@ def main():
     checks.append(("dcn_frame bwd (custom VJP)", dcn_grad,
                    (xd, off, m, wd), True))
 
+    # --- round-5 kernel variants (a 64-lane panel-window variant was
+    # interpret-exact but Mosaic rejects ANY non-128 minor dim in kernel
+    # DMAs/scratch — minimal probe in PERF_NOTES round 5; deleted) -------
+    def dcn_var(block, fold="slices", gemm="big", grad=False):
+        def f(x_, o_, m_, w_):
+            out = modulated_deform_conv_block(
+                x_, o_, m_, w_, None, padding=1, deformable_groups=dg,
+                max_offset=r, use_pallas="frame",
+                compute_dtype=jnp.bfloat16, block=block,
+                frame_fold=fold, frame_gemm=gemm)
+            return jnp.sum(out.astype(jnp.float32))
+        if grad:
+            return lambda *a: jax.grad(f, argnums=(0, 1, 2, 3))(*a)
+        return f
+
+    checks.append(("dcn_frame 4x64 fold=band",
+                   dcn_var((4, 64), "band"), (xd, off, m, wd), True))
+    checks.append(("dcn_frame 4x64 fold=band gemm=taps",
+                   dcn_var((4, 64), "band", "taps"), (xd, off, m, wd), True))
+    checks.append(("dcn_frame bwd 4x64 fold=band",
+                   dcn_var((4, 64), "band", grad=True),
+                   (xd, off, m, wd), True))
+
     failures = 0
     for name, fn, args, hw_expected in checks:
         try:

@@ -64,25 +64,37 @@ def main():
     m = jnp.asarray(rng.uniform(size=(b, h, w, dg * 9)), jnp.bfloat16)
     wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 64)) * 0.1, jnp.bfloat16)
 
-    geoms = [(4, 64), (4, 32), (8, 64)]
-    for geom in geoms:
+    # (geom, fold, gemm) — fold='band' folds only the ph-2 strips tap tr
+    # can ever sample (Mosaic-validated round 5; a 64-lane panel-window
+    # variant was interpret-exact but the toolchain rejects any non-128
+    # minor dim in kernel DMAs — removed, see deform_conv_block._frame_prep)
+    cfgs = [
+        ((4, 64), "slices", "big"),   # round-4 default
+        ((4, 64), "band", "big"),
+        ((4, 32), "band", "big"),
+        ((4, 64), "band", "taps"),
+        ((4, 64), "slices", "taps"),
+    ]
+    for geom, fold, gemm in cfgs:
         # off/m/wgt must be jit ARGUMENTS — closed-over they become HLO
         # constants and blow past the remote-compile payload limit
-        def fn(x_, off_, m_, wgt_, geom=geom):
+        def fn(x_, off_, m_, wgt_, geom=geom, fold=fold, gemm=gemm):
             return modulated_deform_conv_block(
                 x_, off_, m_, wgt_, None, padding=1,
                 deformable_groups=dg,
                 max_offset=r, block=geom, use_pallas="frame",
+                frame_fold=fold, frame_gemm=gemm,
                 compute_dtype=jnp.bfloat16)
 
+        tag = f"geom={geom} fold={fold} gemm={gemm}"
         try:
             t0 = time.perf_counter()
             dt = measure(fn, x, off, m, wgt)
             ct = time.perf_counter() - t0
-            print(f"geom={geom}: {dt * 1e3:8.2f} ms/call "
+            print(f"{tag}: {dt * 1e3:8.2f} ms/call "
                   f"(compile+measure {ct:.0f}s)", flush=True)
         except Exception as e:
-            print(f"geom={geom}: FAILED {type(e).__name__}: "
+            print(f"{tag}: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
 
 
