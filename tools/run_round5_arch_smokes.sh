@@ -17,7 +17,7 @@ mkdir -p experiments /root/jax_cache
 
 for arch in TDAN TOF FSTRN RCAN EDVRx4; do
   echo "[$(date)] smoke-train $arch starting"
-  timeout 3600 python tools/train.py \
+  timeout 3600 python tools/train.py --dcn_impl frame \
     -opt configs/train/smoke_${arch}_motion.yml \
     > experiments/smoke_${arch}.log 2>&1
   echo "[$(date)] smoke-train $arch done (rc=$?)"
