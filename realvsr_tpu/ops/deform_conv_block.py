@@ -41,7 +41,7 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
                                 compute_dtype=None,
                                 use_pallas: bool = False,
                                 pallas_interpret: bool = False,
-                                frame_fold: str = "slices",
+                                frame_fold: str = "band",
                                 frame_gemm: str = "big") -> jax.Array:
     """DCNv2 with offsets clamped to [-max_offset, max_offset], NHWC.
 
@@ -73,7 +73,12 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
 
     if use_pallas == "frame":
         # v7 fast path: fused Pallas kernel with in-kernel frame DMA —
-        # exits before the patch-extraction machinery below is traced
+        # exits before the patch-extraction machinery below is traced.
+        # fold='band' is the measured default (70.6 vs 74.4 ms/L1 call,
+        # round-5 sweep) but needs lane-aligned tap columns; Mosaic also
+        # rejects it at bw=32, so any non-default geometry falls back.
+        if frame_fold == "band" and ((bh * bw) % 128 != 0 or bw < 64):
+            frame_fold = "slices"
         return _frame_path(x, offset, mask, weight, bias, dg=dg, cpg=cpg,
                            r=r, bh=bh, bw=bw, k=k, kw=kw, dt=dt,
                            interpret=pallas_interpret, fold=frame_fold,
