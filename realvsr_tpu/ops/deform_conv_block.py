@@ -542,7 +542,7 @@ def _frame_path(x, offset, mask, weight, bias, *, dg, cpg, r, bh, bw, k, kw,
         dpg, dcrd, dw = dcn_frame_fused_bwd(
             xp, lyx, m_q, wt_g, gout.astype(dt), cpg=cpg, bh=bh, bw=bw,
             ph=g["ph"], pw=g["pw"], nby=g["nby"], nbx=g["nbx"], k=k,
-            interpret=interpret)
+            kw=kw, fold=fold, interpret=interpret)
         dx = _fold_dpg(dpg, b=b, dg=dg, cpg=cpg, bh=bh, bw=bw, r=r, h=h,
                        w=w, geom=g, hp2=hp2, wp2=wp2, wfull=wfull,
                        out_dtype=x_.dtype)

@@ -321,8 +321,8 @@ def dcn_frame_fused(xp: jax.Array, lyx: jax.Array, m: jax.Array,
 
 def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
                 dw_ref, slab_ref, wx_ref, wy_ref, h_ref, s_ref,
-                sem_ref, *, p, k, dg, cpg, ph, pw, bh, nby, nbx,
-                ly2, lx2):
+                sem_ref, *, p, k, kw, dg, cpg, ph, pw, bh, nby, nbx,
+                ly2, lx2, fold_mode):
     dt = slab_ref.dtype
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -344,6 +344,11 @@ def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
     def _():
         wx_ref[:, :] = jnp.zeros_like(wx_ref)
         dw_ref[:, :] = jnp.zeros_like(dw_ref)
+        if fold_mode == "band":
+            # dh scratch: per-tap band writes below never touch cells
+            # outside [tr, tr+ph-3] x tap-cols; zero once so the dpg
+            # matmul sees exact zeros there (wy is 0 outside the band)
+            h_ref[:, :] = jnp.zeros_like(h_ref)
         slab_dma(0, i).start()
 
     @pl.when(i + 1 < n)
@@ -393,6 +398,57 @@ def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
                                  + (io_q == x0i + 1).astype(dt) * tx)
         wx_cur = wx_ref[:, :]
         pg = slab_ref[slot, g].reshape(phr * cpg, 128)
+        if fold_mode == "band":
+            # Banded variant (Mosaic-validated, mirrors the fwd kernel's
+            # fold='band'): per tap, only strips [tr, tr+ph-3] carry
+            # nonzero wy, so the three folds, the csum stores, and the
+            # dh expansion all run the band on that tap's lane-aligned
+            # column window.  h stays an SSA value; h_ref holds dh only
+            # (zeroed once at i==0, non-band cells never written).
+            h = jnp.dot(pg, wx_cur,
+                        preferred_element_type=jnp.float32).astype(dt)
+            wx_ref[0:pw_built, :] = ((io_q == x0i + 1).astype(dt)
+                                     - (io_q == x0i).astype(dt))
+            hx = jnp.dot(pg, wx_ref[:, :],
+                         preferred_element_type=jnp.float32).astype(dt)
+            eyd = e1y - e0y
+            nstr = ph - 2
+            for kk in range(k):
+                tr = kk // kw
+                hi = min(tr + nstr, phr)
+                cols = slice(kk * p, (kk + 1) * p)
+                row = (g * k + kk) * cpg
+
+                def bfold(src, wt2d):
+                    sb = (src[tr * cpg:(tr + 1) * cpg, cols]
+                          * wt2d[tr:tr + 1, cols])
+                    for pp in range(tr + 1, hi):
+                        sb = sb + (src[pp * cpg:(pp + 1) * cpg, cols]
+                                   * wt2d[pp:pp + 1, cols])
+                    return sb
+
+                ds_k = dS[row:row + cpg, :]          # (cpg, p), no concat
+                mask_k = mask[:, cols]
+                dsm_k = ds_k * mask_k
+                s_nm_k = bfold(h, wy_ref)
+                sy_k = bfold(h, eyd)
+                sx_k = bfold(hx, wy_ref)
+                dcrd_ref[0, 3 * g:3 * g + 1, cols] = csum(
+                    dsm_k * sy_k).astype(jnp.float32)
+                dcrd_ref[0, 3 * g + 1:3 * g + 2, cols] = csum(
+                    dsm_k * sx_k).astype(jnp.float32)
+                dcrd_ref[0, 3 * g + 2:3 * g + 3, cols] = csum(
+                    ds_k * s_nm_k).astype(jnp.float32)
+                s_ref[row:row + cpg, :] = s_nm_k * mask_k
+                for pp in range(tr, hi):
+                    h_ref[pp * cpg:(pp + 1) * cpg, cols] = (
+                        dsm_k * wy_ref[pp:pp + 1, cols])
+            dpg_ref[0, g] = jax.lax.dot_general(
+                h_ref[:, :], wx_cur, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dt).reshape(
+                    dpg_ref.shape[2:])
+            # (wx_ref rows above pw_built stay 0 for the next group)
+            continue
         h_ref[:, :] = jnp.dot(pg, wx_cur,
                               preferred_element_type=jnp.float32).astype(dt)
         h = h_ref[:, :]
@@ -443,7 +499,8 @@ def _bwd_kernel(lyx_ref, m_ref, xp_ref, wt_ref, g_ref, dpg_ref, dcrd_ref,
 
 
 def dcn_frame_fused_bwd(xp, lyx, m, wt, gout, *, cpg, bh, bw, ph, pw,
-                        nby, nbx, k=9, interpret=False):
+                        nby, nbx, k=9, kw=3, fold="slices",
+                        interpret=False):
     """Backward pass: returns (dpg_blocks, dcoord, dW).
 
     dpg_blocks (n, dg, phr*cpg, 128): per-block halo-window cotangents in
@@ -465,9 +522,11 @@ def dcn_frame_fused_bwd(xp, lyx, m, wt, gout, *, cpg, bh, bw, ph, pw,
     def blk_index(i):
         return (i // nbyx, (i % nbyx) // nbx, i % nbx, 0)
 
-    kern = functools.partial(_bwd_kernel, p=p, k=k, dg=dg, cpg=cpg, ph=ph,
-                             pw=pw, bh=bh, nby=nby, nbx=nbx,
-                             ly2=ly2, lx2=lx2)
+    if fold == "band":
+        assert p % 128 == 0, "band fold needs lane-aligned tap columns"
+    kern = functools.partial(_bwd_kernel, p=p, k=k, kw=kw, dg=dg, cpg=cpg,
+                             ph=ph, pw=pw, bh=bh, nby=nby, nbx=nbx,
+                             ly2=ly2, lx2=lx2, fold_mode=fold)
     dpg, dcrd, dw = pl.pallas_call(
         kern,
         grid=(n_all,),

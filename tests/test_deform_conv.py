@@ -250,6 +250,34 @@ class TestPallasFusedKernel:
             np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                        atol=1e-5, err_msg=str(kw))
 
+    def test_band_fold_bwd_matches_slices_bwd(self):
+        """The banded backward (per-tap folds + band-limited dh writes
+        into a zeroed scratch) must produce bit-identical gradients to
+        the dense backward."""
+        from realvsr_tpu.ops.deform_conv_block import modulated_deform_conv_block
+
+        rng = np.random.default_rng(7)
+        b, h, w, cin, dgq, r = 1, 4, 128, 16, 2, 4
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+        off = jnp.asarray(rng.normal(size=(b, h, w, dgq * 18)) * 3,
+                          jnp.float32)
+        m = jnp.asarray(rng.uniform(size=(b, h, w, dgq * 9)), jnp.float32)
+        wgt = jnp.asarray(rng.normal(size=(3, 3, cin, 16)) * 0.1,
+                          jnp.float32)
+
+        def grads(fold):
+            def f(x_, o_, m_, w_):
+                out = modulated_deform_conv_block(
+                    x_, o_, m_, w_, None, 1, dgq, max_offset=r,
+                    use_pallas="frame", pallas_interpret=True,
+                    compute_dtype=jnp.float32, block=(4, 64),
+                    frame_fold=fold)
+                return jnp.sum(out * out)
+            return jax.grad(f, argnums=(0, 1, 2, 3))(x, off, m, wgt)
+
+        for a, c in zip(grads("slices"), grads("band")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
 
 @pytest.mark.slow
 class TestFrameKernelVJP:
