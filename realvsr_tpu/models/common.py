@@ -68,6 +68,23 @@ def conv3x3_fast_enabled() -> bool:
     return _CONV3X3_IMPL["mode"].startswith("pallas")
 
 
+# --- DCN rematerialization default -----------------------------------
+# DCNPack.remat=None reads this process-wide default.  True recomputes
+# the DCN forward inside its backward (smallest memory; matches the
+# reference CUDA backward's im2col recompute).  False saves the custom-
+# VJP residuals instead — at 192^2-crop training shapes this removes the
+# L1 forward-recompute kernels from the backward (PERF_NOTES round 5).
+_DCN_REMAT = {"default": True}
+
+
+def set_dcn_remat(value: bool) -> None:
+    _DCN_REMAT["default"] = bool(value)
+
+
+def dcn_remat_default() -> bool:
+    return _DCN_REMAT["default"]
+
+
 class _ConvParams(nn.Module):
     """Declares kernel/bias with nn.Conv's exact names/shapes/inits so the
     Pallas path shares one param tree (and checkpoints) with the XLA path."""
@@ -251,9 +268,10 @@ class DCNPack(nn.Module):
     groups: int = 1
     deformable_groups: int = 8
     extra_offset_mask: bool = True
-    remat: bool = True  # recompute the DCN in backward (its internals —
-    # im2col columns / per-tap gathers — dominate training memory otherwise;
-    # the reference CUDA backward also recomputes im2col)
+    remat: bool | None = None  # recompute the DCN in backward (its
+    # internals — im2col columns / per-tap gathers — dominate training
+    # memory otherwise; the reference CUDA backward also recomputes
+    # im2col).  None reads the process default (set_dcn_remat).
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -291,7 +309,9 @@ class DCNPack(nn.Module):
                 compute_dtype=self.dtype,
             )
 
-        if self.remat:
+        remat = (_DCN_REMAT["default"] if self.remat is None
+                 else self.remat)
+        if remat:
             dcn = jax.checkpoint(dcn)
         return dcn(x, offset, mask, weight, bias)
 

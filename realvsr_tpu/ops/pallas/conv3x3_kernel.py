@@ -374,11 +374,16 @@ def _packed_ref_xla(xp, weight, bias, res, h, act, alpha, has_res,
                     splits=None):
     """Stock-XLA equivalent of the packed kernel (backward path)."""
     x = unpack_pairs(xp) if splits is None else unpack_grouped(xp, splits)
+    # No preferred_element_type widening: the transpose of a widened conv
+    # pairs the f32 cotangent with the bf16 kernel and fails dtype checks.
+    # A same-dtype conv transposes cleanly and matches the nn.Conv XLA
+    # training path (bf16 conv, f32 params cast at the call site) — the
+    # semantics the training tests pin down.  TPU accumulates bf16 convs
+    # in f32 internally either way.
     y = jax.lax.conv_general_dilated(
         x, weight.astype(x.dtype), (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    y = y + bias.astype(jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + bias.astype(y.dtype)
     if act == "relu":
         y = jnp.maximum(y, 0)
     elif act == "lrelu":

@@ -185,3 +185,41 @@ def test_pcd_packed_chains_parity():
     finally:
         set_conv3x3_impl("xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_packed_custom_vjp_bf16_mixed_precision():
+    """bf16 packed conv must be differentiable (mixed-precision training
+    routes bf16 activations through the packed chains; the widened-conv
+    transpose used to fail with a bf16/f32 dtype mismatch) and its grads
+    must track an f32 conv oracle at bf16 rounding scale."""
+    from realvsr_tpu.ops.pallas.conv3x3_kernel import unpack_pairs
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 32, 64)), jnp.bfloat16)
+    xp = pack_pairs(x)
+    wgt = jnp.asarray(rng.normal(size=(3, 3, 64, 64)) * 0.05, jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.bfloat16)
+    res = pack_pairs(
+        jnp.asarray(rng.normal(size=(2, 16, 32, 64)), jnp.bfloat16))
+
+    def loss(w, b, xp_):
+        out = conv3x3_packed(xp_, w, b, h=16, act="lrelu", residual=res,
+                             interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gw, gb, gx = jax.grad(loss, argnums=(0, 1, 2))(wgt, bias, xp)
+
+    def loss_ref(w, b, xp_):
+        xx = unpack_pairs(xp_).astype(jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            xx, w.astype(jnp.float32), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = jnp.where(y + b >= 0, y + b, (y + b) * 0.1)
+        y = pack_pairs(y).astype(jnp.float32) + res.astype(jnp.float32)
+        return jnp.sum(y ** 2)
+
+    rw, rb, rx = jax.grad(loss_ref, argnums=(0, 1, 2))(wgt, bias, xp)
+    for got, ref, name in ((gw, rw, "dw"), (gb, rb, "db"), (gx, rx, "dx")):
+        rel = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref))
+                    / (jnp.max(jnp.abs(ref)) + 1e-9))
+        assert rel < 0.05, f"{name} rel err {rel}"  # bf16 rounding scale

@@ -29,6 +29,17 @@ def main():
     ap.add_argument("--compile_only", action="store_true",
                     help="chipless AOT compile into the persistent cache "
                          "(runs while the chip is busy); no execution")
+    # remat/conv configuration sweep (PERF_NOTES round 5): the trainer
+    # itself runs model_remat=0 (define_g never sets it); dcn_remat=1 and
+    # conv=xla are the historical defaults being challenged
+    ap.add_argument("--model_remat", type=int, default=1,
+                    help="nn.checkpoint PCD + trunks (1=yes)")
+    ap.add_argument("--dcn_remat", type=int, default=1,
+                    help="jax.checkpoint around each DCN (1=yes)")
+    ap.add_argument("--conv", choices=["xla", "pallas"], default="xla",
+                    help="3x3 conv impl for the packed ResBlock chains "
+                         "(pallas requires model_remat=0)")
+    ap.add_argument("--skip_trace", action="store_true")
     args = ap.parse_args()
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
@@ -43,6 +54,10 @@ def main():
     from realvsr_tpu.train.wrappers import make_train_step
 
     set_default_impl("frame", block_max_offset=4)
+    from realvsr_tpu.models.common import set_conv3x3_impl, set_dcn_remat
+    set_dcn_remat(bool(args.dcn_remat))
+    if args.conv == "pallas":
+        set_conv3x3_impl("pallas")
     opt = {
         "model": "VideoSR_AllPair_YCbCr_Split",
         "train": {
@@ -58,7 +73,7 @@ def main():
     }
     model = EDVRNoUp(nf=64, nc=3, nframes=3, groups=8, front_RBs=5,
                      back_RBs=10, predeblur=False, HR_in=False, w_TSA=False,
-                     dtype=jnp.bfloat16, remat=True)
+                     dtype=jnp.bfloat16, remat=bool(args.model_remat))
     s = args.size
     sample = jnp.zeros((1, 3, s, s, 3), jnp.float32)
     state = create_train_state(model, opt, sample, jax.random.PRNGKey(0))
@@ -88,6 +103,8 @@ def main():
     float(logs["l_pix"])
     print(f"~{3 / (time.time() - ts):.2f} it/s (dispatch-timed; fori "
           "methodology not applicable to donated state)", flush=True)
+    if args.skip_trace:
+        return 0
 
     os.makedirs(args.outdir, exist_ok=True)
     with jax.profiler.trace(args.outdir, create_perfetto_trace=True):
