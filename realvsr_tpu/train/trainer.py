@@ -127,6 +127,14 @@ class Trainer:
         # params — halves the remat'd activation buffers that bound
         # training memory at 192^2 crops (PERF_NOTES.md)
         self.is_gan = "GAN" in (opt["model"] or "")
+        # train.dcn_remat (default off): recompute each DCN forward inside
+        # its backward.  Off saves the custom-VJP residuals instead — the
+        # round-5 chip sweep measured 1.67 vs 1.53 it/s at the reference
+        # 192^2/batch-8 recipe, and both flagship recipe shapes fit HBM
+        # without the recompute.  Set `dcn_remat: true` if a larger custom
+        # crop OOMs.
+        from realvsr_tpu.models.common import set_dcn_remat
+        set_dcn_remat(bool(opt["train"].get("dcn_remat") or False))
         g_dtype = (jnp.bfloat16 if opt["train"].get("mixed_precision")
                    else jnp.float32)
         self.model = define_g(opt, dtype=g_dtype)

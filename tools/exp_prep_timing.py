@@ -64,7 +64,13 @@ def main():
     m = jnp.asarray(rng.uniform(size=(B, H, W, DG * 9)), jnp.bfloat16)
     wgt = jnp.asarray(rng.normal(size=(3, 3, CIN, CIN)) * 0.1, jnp.bfloat16)
 
-    for relayout in ("one_shot", "two_stage"):
+    import realvsr_tpu.ops.deform_conv_block as dcb
+
+    for relayout, barrier in (("one_shot", False), ("two_stage", False),
+                              ("two_stage", True), ("one_shot", True)):
+        saved = dcb._PREP_BARRIER_BYTES
+        if barrier:
+            dcb._PREP_BARRIER_BYTES = 0
         run, run1 = make(relayout)
         float(run(x, off, m, wgt))
         float(run1(x, off, m, wgt))
@@ -77,7 +83,9 @@ def main():
             float(run1(x, off, m, wgt))
             t1.append(time.perf_counter() - t0)
         dt = (min(tn) - min(t1)) / (ITERS - 1)
-        print(f"prep[{relayout}]: {dt*1000:.2f} ms/call", flush=True)
+        tag = relayout + ("+barrier" if barrier else "")
+        print(f"prep[{tag}]: {dt*1000:.2f} ms/call", flush=True)
+        dcb._PREP_BARRIER_BYTES = saved
 
 
 if __name__ == "__main__":
