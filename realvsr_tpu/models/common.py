@@ -181,6 +181,39 @@ def lrelu(x, slope: float = 0.1):
     return nn.leaky_relu(x, negative_slope=slope)
 
 
+class FrameSumConv1x1(nn.Module):
+    """1x1 conv over frame-concatenated channels, computed as a sum of
+    per-frame matmuls: out = sum_n x[:, n] @ W_n + b.
+
+    Mathematically identical to transpose(B,N,H,W,C)->(B,H,W,N*C) +
+    Conv2d(features, 1) (the EDVR woTSA fusion, EDVR_arch.py:344-353) and
+    shares that conv's exact param tree (Conv_0/kernel (1,1,N*C,features)),
+    but skips the N->lanes relayout the transpose costs on TPU (a
+    profiler-attributed ~1.7 ms copy + ~3.7 ms conv fusion per 1024x512
+    frame vs ~1 ms of plain MXU matmuls, PERF_NOTES round 5)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, h, w, c = x.shape
+        fan_in = n * c
+        kernel, bias = _ConvParams(
+            (1, 1, n * c, self.features), self.features, True,
+            torch_default_init, torch_bias_init(fan_in), name="Conv_0")()
+        k = kernel.reshape(n, c, self.features).astype(self.dtype)
+        acc = None
+        for i in range(n):
+            t = jax.lax.dot_general(
+                x[:, i].reshape(b * h * w, c), k[i],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+        out = acc.astype(self.dtype) + bias.astype(self.dtype)
+        return out.reshape(b, h, w, self.features)
+
+
 class ResidualBlockNoBN(nn.Module):
     """Conv-ReLU-Conv + identity (arch_util.py:121-139), 0.1-scaled init.
 

@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from realvsr_tpu.models.common import (
-    Blocks, Conv2d, DCNPack, ResidualBlockNoBN, avg_pool_3x3_s2,
-    conv3x3_fast_enabled, lrelu, max_pool_3x3_s2,
+    Blocks, Conv2d, DCNPack, FrameSumConv1x1, ResidualBlockNoBN,
+    avg_pool_3x3_s2, conv3x3_fast_enabled, lrelu, max_pool_3x3_s2,
 )
 from realvsr_tpu.ops.pallas.conv3x3_kernel import pack_pairs, unpack_pairs
 from realvsr_tpu.ops.resize import pixel_shuffle, resize_bilinear, upsample2x_bilinear
@@ -329,8 +329,10 @@ class _EDVRBase(nn.Module):
             fea = TSAFusion(nf=nf, nframes=self.nframes, center=ctr, dtype=dt,
                             name="tsa_fusion")(aligned)
         else:
-            fused_in = aligned.transpose(0, 2, 3, 1, 4).reshape(b, h, w, n * nf)
-            fea = Conv2d(nf, 1, padding=0, dtype=dt, name="tsa_fusion")(fused_in)
+            # per-frame matmul sum — same params/math as the reference's
+            # transpose + 1x1 conv (EDVR_arch.py:344-353) without the
+            # N->lanes relayout copy (PERF_NOTES round 5)
+            fea = FrameSumConv1x1(nf, dtype=dt, name="tsa_fusion")(aligned)
         return fea
 
 

@@ -294,11 +294,15 @@ def modulated_deform_conv_block(x: jax.Array, offset: jax.Array,
     return out
 
 
-# Above this int16-coords size, _frame_prep pins the fixed-point encode to
-# the flat (b, hh, ww, dk2) layout with an optimization barrier (see the
-# two_stage branch).  1 GiB keeps the 1024x512 bench shapes (0.45G) on the
-# fully-fused path while capping the 1080p-class temps.
-_PREP_BARRIER_BYTES = 1 << 30
+# _frame_prep pins the fixed-point encode to the flat (b, hh, ww, dk2)
+# int16 layout with an optimization_barrier, unconditionally.  Without it
+# XLA's reshape-mover sinks the block reshape ABOVE the encode arithmetic,
+# materializing f32 6-D temps: at 1088x1920 L1 shapes that is a 7.17G
+# allocation that OOMs the full-frame 1080p compile, and at the 1024x512
+# bench shape it costs two extra f32 materializations (chip-measured
+# round 5: one_shot 15.19 -> 6.87 ms/call with the barrier, two_stage
+# 10.96 -> 9.54; the barriered one_shot single transpose is the fastest
+# variant and is the default).
 
 
 def _frame_geom(h, w, cpg, r, bh, bw):
@@ -312,7 +316,7 @@ def _frame_geom(h, w, cpg, r, bh, bw):
 
 
 def _frame_prep(x, offset, mask, weight, *, dg, cpg, r, bh, bw, k, kw, dt,
-                relayout: str = "two_stage"):
+                relayout: str = "one_shot"):
     """Kernel-input prep shared by forward and backward: halo column
     panels, fixed-point int16 positions (one fused elementwise transform +
     one relayout — the v7 f32 coords stack profiler-attributed at
@@ -382,14 +386,9 @@ def _frame_prep(x, offset, mask, weight, *, dg, cpg, r, bh, bw, k, kw, dt,
         val = (jnp.clip(offp.astype(jnp.float32), -float(r), float(r))
                + pos)
         fxp = jnp.round(val * scale).astype(jnp.int16)   # (b,hh,ww,(g,c,k))
-        if fxp.size * 2 >= _PREP_BARRIER_BYTES:
-            # large frames only: XLA's reshape-mover sinks the block
-            # reshape below ABOVE this arithmetic, materializing `val` as
-            # a 6-D f32 temp (7.17G at 1088x1920 L1 — OOMs the full-frame
-            # 1080p program by 261M).  The barrier pins the encode to the
-            # flat layout so only int16 is ever materialized; small
-            # (bench) shapes keep the unbarriered fusion.
-            fxp = jax.lax.optimization_barrier(fxp)
+        # pin the encode to the flat int16 layout (see module comment: the
+        # unbarriered fusion OOMs 1080p compiles and is slower at bench)
+        fxp = jax.lax.optimization_barrier(fxp)
         t1 = fxp.reshape(b, nby, bh, nbx, bw, dk2).transpose(
             0, 1, 3, 2, 4, 5)                            # minor dims intact
         lyx = t1.reshape(n_all, p, dk2).transpose(0, 2, 1).reshape(
@@ -418,10 +417,8 @@ def _frame_prep(x, offset, mask, weight, *, dg, cpg, r, bh, bw, k, kw, dt,
         val = (jnp.clip(offp.astype(jnp.float32), -float(r), float(r))
                + pos)
         fxp = jnp.round(val * scale).astype(jnp.int16)   # (b, hh, ww, dk2)
-        if fxp.size * 2 >= _PREP_BARRIER_BYTES:
-            # same reshape-mover temp-memory hazard as the two_stage
-            # branch above: pin the encode to the flat int16 layout
-            fxp = jax.lax.optimization_barrier(fxp)
+        # pin the encode to the flat int16 layout (see module comment)
+        fxp = jax.lax.optimization_barrier(fxp)
         # one relayout -> rows (g, comp) with q = (tap, y, x) tap-major
         lyx = fxp.reshape(b, nby, bh, nbx, bw, dg, k, 2).transpose(
             0, 1, 3, 5, 7, 6, 2, 4).reshape(n_all, dg * 2, qn)

@@ -261,7 +261,7 @@ def unpack_grouped(x: jax.Array, splits: tuple[int, ...]) -> jax.Array:
 
 def _packed_kernel(x_ref, wt_ref, b_ref, res_ref, out_ref, slab_ref,
                    a_ref, sem_ref, *, mrows, wp, h, cin2, cout2, act,
-                   alpha, has_res, n_rows, dt):
+                   alpha, has_res, n_rows, dt, variant="scratch"):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     m = mrows * wp
@@ -313,18 +313,34 @@ def _packed_kernel(x_ref, wt_ref, b_ref, res_ref, out_ref, slab_ref,
     # round-trips instead of 9 (nine K=cin2 dots measured 2x slower), and
     # no sublane-misaligned bf16 copies (a full 9*cin2 im2col needs 6,
     # measured slower still).
+    # variant="dbuf": the staging scratch is double-buffered by block
+    # parity so block i+1's VPU staging writes don't wait on block i's
+    # MXU reads (the DCN kernel's recorded ref-reuse pipelining hazard).
+    # variant="ssa": staging built as an SSA concat value, no scratch.
+    srcs = []
     for t, dy in enumerate((-1, 0, 1)):
         src = slab_ref[slot, pl.ds(halo - 1 + dy * wp, me), :]
         if dy == -1:
             src = src * jnp.clip(ypos_e, 0, 1).astype(dt)
         elif dy == 1:
             src = src * jnp.clip(h - 1 - ypos_e, 0, 1).astype(dt)
-        a_ref[:, t * cin2:(t + 1) * cin2] = src
+        if variant == "ssa":
+            srcs.append(src)
+        elif variant == "dbuf":
+            a_ref[slot, :, t * cin2:(t + 1) * cin2] = src
+        else:
+            a_ref[:, t * cin2:(t + 1) * cin2] = src
+    if variant == "ssa":
+        a_val = jnp.concatenate(srcs, axis=1)
+    elif variant == "dbuf":
+        a_val = a_ref[slot, :, :]
+    else:
+        a_val = a_ref[:, :]
     jm = jpos_e[1:1 + m]  # packed col of each OUT row
     acc = None
     for pdx in (-1, 0, 1):
         t = jax.lax.dot_general(
-            a_ref[:, :], wt_ref[pdx + 1], (((1,), (0,)), ((), ())),
+            a_val, wt_ref[pdx + 1], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         ts = t[1 + pdx:1 + pdx + m]
         if pdx == -1:  # reading col j-1: invalid at j == 0
@@ -430,6 +446,7 @@ def _packed_pallas(xp: jax.Array, weight: jax.Array,
                    residual: jax.Array | None = None,
                    mrows: int | None = None,
                    splits: tuple[int, ...] | None = None,
+                   variant: str = "scratch",
                    interpret: bool = False) -> jax.Array:
     """Pallas forward of the pair-packed conv.
 
@@ -469,7 +486,8 @@ def _packed_pallas(xp: jax.Array, weight: jax.Array,
 
     kern = functools.partial(_packed_kernel, mrows=mrows, wp=wp, h=h,
                              cin2=cin2, cout2=cout2, act=act, alpha=alpha,
-                             has_res=has_res, n_rows=n_rows, dt=dt)
+                             has_res=has_res, n_rows=n_rows, dt=dt,
+                             variant=variant)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec((3, 3 * cin2, cout2), lambda i: (0, 0, 0),
@@ -491,7 +509,9 @@ def _packed_pallas(xp: jax.Array, weight: jax.Array,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, rows, cin2), dt),
-            pltpu.VMEM((m + 2, 3 * cin2), dt),
+            (pltpu.VMEM((2, m + 2, 3 * cin2), dt) if variant == "dbuf"
+             else pltpu.VMEM((8, 128), dt) if variant == "ssa"
+             else pltpu.VMEM((m + 2, 3 * cin2), dt)),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         cost_estimate=pl.CostEstimate(
