@@ -313,10 +313,14 @@ def _packed_kernel(x_ref, wt_ref, b_ref, res_ref, out_ref, slab_ref,
     # round-trips instead of 9 (nine K=cin2 dots measured 2x slower), and
     # no sublane-misaligned bf16 copies (a full 9*cin2 im2col needs 6,
     # measured slower still).
-    # variant="dbuf": the staging scratch is double-buffered by block
-    # parity so block i+1's VPU staging writes don't wait on block i's
-    # MXU reads (the DCN kernel's recorded ref-reuse pipelining hazard).
-    # variant="ssa": staging built as an SSA concat value, no scratch.
+    # variant="ssa" (default): staging built as an SSA concat value, no
+    # scratch — Mosaic schedules it freely across blocks.  Chip sweep at
+    # mrows=4 (tools/sweep_conv3x3.py, round 5): front-shape 2.96 ms/call
+    # vs 3.32 dbuf / ~3.34 scratch; recon-shape 0.845 vs 0.944/0.946.
+    # variant="dbuf": staging scratch double-buffered by block parity so
+    # block i+1's VPU staging writes don't wait on block i's MXU reads
+    # (the DCN kernel's recorded ref-reuse pipelining hazard).
+    # variant="scratch": the round-3 single staging scratch.
     srcs = []
     for t, dy in enumerate((-1, 0, 1)):
         src = slab_ref[slot, pl.ds(halo - 1 + dy * wp, me), :]
@@ -446,7 +450,7 @@ def _packed_pallas(xp: jax.Array, weight: jax.Array,
                    residual: jax.Array | None = None,
                    mrows: int | None = None,
                    splits: tuple[int, ...] | None = None,
-                   variant: str = "scratch",
+                   variant: str = "ssa",
                    interpret: bool = False) -> jax.Array:
     """Pallas forward of the pair-packed conv.
 
